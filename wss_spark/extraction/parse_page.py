@@ -1,0 +1,275 @@
+"""Vectorized extraction stage: pages(html) → typed entity rows.
+
+One Arrow-batched ``mapInPandas`` pass parses each fetched page exactly once
+and emits a *tall* unified result (one row per extracted entity + one
+``kind='page'`` row carrying page-level metadata and the canonical extracted
+``text``). Downstream stages slice it declaratively by ``kind`` — Catalyst
+prunes the unused columns per consumer.
+
+This replaces the reference's per-page imperative parse loops
+(`独立版/WeiboDeepAnalyzer.py:308-428,432-544`) with the engine's UDTF-shaped
+pandas-UDF pattern (SURVEY.md §2.10). No per-row Python UDFs: the only Python
+boundary is this one mapInPandas, per the BASELINE.json input_hint.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from wss_spark.extraction import kernel
+from wss_spark.extraction.kernel import ANCHOR
+
+PARSED = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("kind", StringType(), False),  # page|weibo|comment|repost|user|album
+        StructField("root_id", StringType(), True),  # wid (or uid for user)
+        StructField("page", IntegerType(), True),
+        StructField("block_index", IntegerType(), True),
+        StructField("entity_id", StringType(), True),
+        StructField("user_id", StringType(), True),
+        StructField("user_name", StringType(), True),
+        StructField("content", StringType(), True),
+        StructField("like_count", IntegerType(), True),
+        StructField("publish_time", StringType(), True),
+        StructField("is_hot", BooleanType(), True),
+        StructField("publish_source", StringType(), True),
+        StructField("repost_count", IntegerType(), True),
+        StructField("comment_count", IntegerType(), True),
+        StructField("total_comment_pages", IntegerType(), True),
+        StructField("fulltext_href", StringType(), True),
+        StructField("album_href", StringType(), True),
+        StructField("images", ArrayType(StringType()), True),
+        StructField("gender", StringType(), True),
+        StructField("location", StringType(), True),
+        StructField("followers_num", IntegerType(), True),
+        StructField("weibo_num", IntegerType(), True),
+        StructField("following_num", IntegerType(), True),
+        StructField("n_blocks", IntegerType(), True),  # repost stop-condition input
+        StructField("text", StringType(), True),  # canonical page text (kind='page')
+    ]
+)
+
+_COLS = [f.name for f in PARSED.fields]
+
+
+def _rows_for_page(url: str, html, now: datetime) -> list[dict]:
+    root = kernel.parse_html(html)
+    kind, rid, page = kernel.classify_url(url)
+    base = dict.fromkeys(_COLS)
+    base.update(url=url, root_id=rid, page=page)
+    out: list[dict] = []
+    text_parts: list[str] = []
+
+    if kind == "comment":
+        w = kernel.extract_weibo_from_page(root, now, rid or "")
+        if w is not None and page == 1:
+            row = dict(base)
+            row.update(
+                kind="weibo",
+                entity_id=w["weibo_id"],
+                user_id=w["user_id"],
+                user_name=w["user_name"],
+                content=w["content"],
+                like_count=w["like_count"],
+                publish_time=w["publish_time"],
+                publish_source=w["publish_source"],
+                repost_count=w["repost_count"],
+                comment_count=w["comment_count"],
+                total_comment_pages=w["total_comment_pages"],
+                fulltext_href=w["fulltext_href"],
+                album_href=w["album_href"],
+                block_index=0,
+            )
+            out.append(row)
+            if w["content"]:
+                text_parts.append(w["content"])
+        comments = kernel.extract_comments_from_page(root, now)
+        for c in comments:
+            row = dict(base)
+            row.update(
+                kind="comment",
+                entity_id=c["comment_id"],
+                user_id=c["commenter_id"],
+                user_name=c["commenter_name"],
+                content=c["content"],
+                like_count=c["like_count"],
+                publish_time=c["publish_time"],
+                is_hot=c["is_hot"],
+                block_index=c["block_index"],
+            )
+            out.append(row)
+            if not c["is_hot"]:
+                text_parts.append(c["content"])
+        n_blocks = len(comments)
+    elif kind == "repost":
+        reposts = kernel.extract_reposts_from_page(root, now)
+        for r in reposts:
+            row = dict(base)
+            row.update(
+                kind="repost",
+                user_id=r["user_id"],
+                user_name=r["user_name"],
+                content=r["content"],
+                like_count=r["like_count"],
+                publish_time=r["publish_time"],
+                block_index=r["block_index"],
+            )
+            out.append(row)
+            text_parts.append(r["content"])
+        n_blocks = len(reposts)
+    elif kind == "album":
+        imgs = kernel.extract_album_images(root)
+        row = dict(base)
+        row.update(kind="album", images=imgs)
+        out.append(row)
+        n_blocks = len(imgs)
+    elif kind == "info":
+        u = kernel.extract_user_from_page(root, rid or "")
+        row = dict(base)
+        row.update(
+            kind="user",
+            entity_id=u["uid"],
+            user_id=u["uid"],
+            user_name=u["nickname"],
+            gender=u["gender"],
+            location=u["location"],
+            followers_num=u["followers_num"],
+            weibo_num=u["weibo_num"],
+            following_num=u["following_num"],
+        )
+        out.append(row)
+        n_blocks = 1
+        body = root.first("body")
+        t = kernel.clean_text(body.string() if body is not None else "")
+        text_parts = [t] if t else []
+    else:
+        body = root.first("body")
+        t = kernel.clean_text(body.string() if body is not None else "")
+        text_parts = [t] if t else []
+        n_blocks = 0
+
+    page_row = dict(base)
+    page_row.update(kind="page", n_blocks=n_blocks, text="\n".join(text_parts))
+    out.append(page_row)
+    return out
+
+
+def parse_pages(pages: DataFrame, now: datetime = ANCHOR) -> DataFrame:
+    """pages(url, html, ...) → tall PARSED DataFrame (one Arrow pass)."""
+    cols = pages.select("url", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                rows.extend(_rows_for_page(url, html, now))
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    return cols.mapInPandas(run, schema=PARSED)
+
+
+# ---------------------------------------------------------------------------
+# typed entity views over the tall result
+# ---------------------------------------------------------------------------
+
+
+def extract_text(pages: DataFrame, now: datetime = ANCHOR) -> DataFrame:
+    """url → canonical extracted text (the north-star html→text stage)."""
+    return (
+        parse_pages(pages, now)
+        .filter(F.col("kind") == "page")
+        .select("url", F.col("text").alias("extracted_text"))
+    )
+
+
+def extract_comments(parsed: DataFrame, drop_hot: bool = True) -> DataFrame:
+    df = parsed.filter(F.col("kind") == "comment")
+    if drop_hot:
+        df = df.filter(~F.col("is_hot"))  # P5 hot-comment skip
+    return df.select(
+        F.col("root_id").alias("root_wid"),
+        "page",
+        "block_index",
+        F.col("entity_id").alias("comment_id"),
+        F.col("user_id").alias("commenter_id"),
+        F.col("user_name").alias("commenter_name"),
+        "content",
+        "like_count",
+        "publish_time",
+        "is_hot",
+    )
+
+
+def extract_reposts(parsed: DataFrame) -> DataFrame:
+    return parsed.filter(F.col("kind") == "repost").select(
+        F.col("root_id").alias("root_wid"),
+        "page",
+        "block_index",
+        "user_id",
+        "user_name",
+        "content",
+        "like_count",
+        "publish_time",
+    )
+
+
+def extract_weibo(parsed: DataFrame) -> DataFrame:
+    return parsed.filter(F.col("kind") == "weibo").select(
+        F.col("root_id").alias("wid"),
+        F.col("entity_id").alias("weibo_id"),
+        "user_id",
+        "user_name",
+        "content",
+        "publish_time",
+        "publish_source",
+        "like_count",
+        "repost_count",
+        "comment_count",
+        "total_comment_pages",
+        "fulltext_href",
+        "album_href",
+    )
+
+
+def extract_users(parsed: DataFrame) -> DataFrame:
+    return parsed.filter(F.col("kind") == "user").select(
+        F.col("entity_id").alias("uid"),
+        F.col("user_name").alias("nickname"),
+        "gender",
+        "location",
+        "followers_num",
+        "weibo_num",
+        "following_num",
+    )
+
+
+def extract_albums(parsed: DataFrame) -> DataFrame:
+    return parsed.filter(F.col("kind") == "album").select(
+        F.col("root_id").alias("wid"), "images"
+    )
+
+
+def extract_entities(pages: DataFrame, now: datetime = ANCHOR) -> dict[str, DataFrame]:
+    parsed = parse_pages(pages, now)
+    return {
+        "parsed": parsed,
+        "weibo": extract_weibo(parsed),
+        "comments": extract_comments(parsed),
+        "reposts": extract_reposts(parsed),
+        "users": extract_users(parsed),
+        "albums": extract_albums(parsed),
+    }

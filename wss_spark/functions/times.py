@@ -1,0 +1,76 @@
+"""Relative-time normalization (F1/F2) — JVM-side Column implementation.
+
+The reference normalizes ``刚刚 / N分钟 / N小时 / 今天 HH:MM / MM月DD日 [HH:MM] /
+absolute`` strings with per-row Python (`独立版/WeiboDeepAnalyzer.py:128-161`).
+Here it is a pure ``F.when`` chain over regexp extraction — whole-stage
+codegen, no Python — anchored on an explicit ``now`` timestamp column/literal
+for determinism. A byte-parity test pins it against the kernel's pure-Python
+port of the same algorithm.
+
+Also F2: RFC-2822-ish API times (`独立版/CommentedWeiboSpider.py:35-38`).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def parse_weibo_time(raw: Column | str, now: datetime | Column) -> Column:
+    """Returns the normalized STRING (the reference's output type) in the
+    format '%Y-%m-%d %H:%M' for relative branches, mirroring every branch of
+    `独立版/WeiboDeepAnalyzer.py:128-161`."""
+    c = F.col(raw) if isinstance(raw, str) else raw
+    now_ts = F.lit(now) if isinstance(now, datetime) else now
+
+    head = F.trim(F.split(c, "来自").getItem(0))
+    fmt_min = "yyyy-MM-dd HH:mm"
+
+    minutes = F.regexp_extract(head, r"(\d+)分钟", 1).cast("int")
+    hours = F.regexp_extract(head, r"(\d+)小时", 1).cast("int")
+    md = F.regexp_extract(head, r"(\d{1,2})月(\d{1,2})日\s*(\d{1,2}:\d{2})?", 0)
+    mon = F.lpad(F.regexp_extract(head, r"(\d{1,2})月", 1), 2, "0")
+    day = F.lpad(F.regexp_extract(head, r"月(\d{1,2})日", 1), 2, "0")
+    hm = F.regexp_extract(head, r"日\s*(\d{1,2}:\d{2})", 1)
+
+    return (
+        F.when(head.contains("刚刚"), F.date_format(now_ts, fmt_min))
+        .when(
+            head.contains("分钟"),
+            F.date_format(now_ts - F.make_dt_interval(F.lit(0), F.lit(0), minutes), fmt_min),
+        )
+        .when(
+            head.contains("小时"),
+            F.date_format(now_ts - F.make_dt_interval(F.lit(0), hours), fmt_min),
+        )
+        .when(
+            head.contains("今天"),
+            F.concat_ws(" ", F.date_format(now_ts, "yyyy-MM-dd"), F.trim(F.replace(head, F.lit("今天"), F.lit("")))),
+        )
+        .when(
+            head.contains("月") & head.contains("日") & (md != ""),
+            F.concat(
+                F.date_format(now_ts, "yyyy"),
+                F.lit("-"),
+                mon,
+                F.lit("-"),
+                day,
+                F.lit(" "),
+                F.when(hm != "", hm).otherwise(F.lit("00:00")),
+            ),
+        )
+        .when(head.contains("月") & head.contains("日"), head)
+        .when(F.length(head) >= 16, F.substring(head, 1, 16))
+        .otherwise(head)
+    )
+
+
+def parse_api_time(raw: Column | str) -> Column:
+    """F2: '%a %b %d %H:%M:%S %z %Y' → '%Y-%m-%d %H:%M:%S'
+    (`独立版/CommentedWeiboSpider.py:35-38`)."""
+    c = F.col(raw) if isinstance(raw, str) else raw
+    return F.date_format(
+        F.to_timestamp(c, "EEE MMM dd HH:mm:ss Z yyyy"), "yyyy-MM-dd HH:mm:ss"
+    )

@@ -1,0 +1,412 @@
+"""Deterministic synthetic pages-table generator (Common-Crawl-style).
+
+Generates weibo.cn-shaped HTML pages per FIXTURES.md §1/§5 so the extraction
+UDFs have real parsing work. Fully deterministic: every page is a pure
+function of ``(seed, target_index)`` — no wall clock, no global RNG — so
+generation is embarrassingly parallel (``spark.range(n) → mapInPandas``) and
+reproducible at any scale.
+
+The ``text`` column is the byte-identical-extraction oracle: it is built
+*record-level* (straight string assembly from the underlying synthetic
+records, applying the reference's cleaning/slicing semantics), NOT by parsing
+the HTML — so tests of ``kernel.page_text(html)`` against it are a real
+round-trip check.
+
+Host distribution is deliberately skewed (~85% of urls on one host) to
+exercise the salted-partitioning path (SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+import random
+import re
+from datetime import datetime, timedelta
+from typing import Iterator
+
+import pandas as pd
+
+from wss_spark.extraction.kernel import ANCHOR, clean_text, escape, parse_time
+from wss_spark.schema import PAGES
+
+HOT_HOST = "weibo.cn"
+COLD_HOSTS = ["m1.weibo.example", "m2.weibo.example", "m3.weibo.example"]
+
+_ZH_WORDS = (
+    "今天 夜间 多云 转阴 有轻雾 东部地区 零星小雨 北风 二三级 最低气温 白天 "
+    "天气预报 出行 注意安全 市气象台 发布 健康 科技 新闻 转发 好看 支持 加油 "
+    "希望 一切顺利 真不错 哈哈 有意思 学习了 感谢分享 太好了 欢迎 关注 朋友"
+).split()
+_EN_WORDS = "data spark table query batch window join scan fast slow".split()
+_EMOJI = ["😄", "👍", "🔥", "❤️", "🎉"]
+_TOOLS = ["nova 11 SE", "微博手机版", "vivo S20", "微博网页版", "iPhone 15", "HUAWEI Mate"]
+_NAMES1 = "李 王 张 刘 陈 杨 赵 黄 周 吴".split()
+_NAMES2 = "茂盛 小水 文旅 之声 观察 日报 科技 爱好者 同学 先生".split()
+_PLACES = ["北京", "上海", "广州", "深圳", "成都", "杭州", "无"]
+
+_B62 = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _b62(n: int, width: int = 9) -> str:
+    s = ""
+    while n:
+        s = _B62[n % 62] + s
+        n //= 62
+    return (s or "0").rjust(width, "Q")
+
+
+def _rng(seed: int, *keys: int) -> random.Random:
+    x = seed & 0xFFFFFFFF
+    for k in keys:
+        x = (x * 1000003 + k + 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF
+    return random.Random(x)
+
+
+def _name(r: random.Random) -> str:
+    return r.choice(_NAMES1) + r.choice(_NAMES2) + str(r.randrange(100))
+
+
+def _sentence(r: random.Random, nmin: int, nmax: int, en: bool = False) -> str:
+    words = _EN_WORDS if en else _ZH_WORDS
+    n = r.randint(nmin, nmax)
+    sep = " " if en else ""
+    s = sep.join(r.choice(words) for _ in range(n))
+    if r.random() < 0.15:
+        s = r.choice(_EMOJI) + s
+    if r.random() < 0.1:
+        s += "#" + r.choice(_ZH_WORDS) + "#"
+    return s
+
+
+def _raw_time(r: random.Random) -> str:
+    """A raw span.ct time string covering every branch of the time parser
+    (`独立版/WeiboDeepAnalyzer.py:128-161`)."""
+    kind = r.random()
+    if kind < 0.05:
+        return "刚刚"
+    if kind < 0.15:
+        return f"{r.randint(1, 59)}分钟前"
+    if kind < 0.22:
+        return f"{r.randint(1, 12)}小时前"
+    if kind < 0.35:
+        return f"今天 {r.randint(0, 23):02d}:{r.randint(0, 59):02d}"
+    if kind < 0.75:
+        d = ANCHOR - timedelta(days=r.randint(0, 60), minutes=r.randint(0, 1400))
+        return f"{d.month:02d}月{d.day:02d}日 {d.hour:02d}:{d.minute:02d}"
+    d = ANCHOR - timedelta(days=r.randint(0, 200), minutes=r.randint(0, 1400))
+    return d.strftime("%Y-%m-%d %H:%M:%S")
+
+
+# ---------------------------------------------------------------------------
+# per-target synthetic model
+# ---------------------------------------------------------------------------
+
+
+class Target:
+    """All facts about one crawl target (weibo post), derived from (seed, t)."""
+
+    def __init__(self, seed: int, t: int):
+        r = _rng(seed, t, 1)
+        self.t = t
+        self.wid = _b62(1_000_000_000_000_000 + t * 7919 + (seed % 7919))
+        self.uid = str(2_000_000_000 + t * 13 + seed % 13)
+        self.user_name = _name(r)
+        self.host = HOT_HOST if r.random() < 0.85 else r.choice(COLD_HOSTS)
+        self.n_comments = r.choice([0, r.randint(1, 8), r.randint(5, 35), r.randint(20, 60)])
+        self.n_repost_pages = r.choice([0, 1, 1, 2, 3])
+        self.reposts_per_page = r.randint(3, 10)
+        self.has_longtext = r.random() < 0.25
+        self.has_album = r.random() < 0.2
+        self.n_images = r.randint(1, 6) if self.has_album else 0
+        self.lang = "en" if r.random() < 0.05 else "zh"
+        self.content_short = _sentence(r, 8, 20, en=(self.lang == "en"))
+        self.full_content = self.content_short + _sentence(_rng(seed, t, 2), 20, 40)
+        self.raw_time = _raw_time(r)
+        self.tool = r.choice(_TOOLS)
+        self.like = r.randint(0, 500)
+        self.n_repost_total = self.n_repost_pages * self.reposts_per_page
+        self.robots_blocked = self.host == COLD_HOSTS[-1] and r.random() < 0.5
+
+    # --- urls -----------------------------------------------------------
+    def url_main(self) -> str:
+        return f"https://{self.host}/comment/{self.wid}"
+
+    def url_comment_page(self, p: int) -> str:
+        return f"https://{self.host}/comment/{self.wid}?page={p}"
+
+    def url_repost_page(self, p: int) -> str:
+        return f"https://{self.host}/repost/{self.wid}?page={p}"
+
+    def url_fulltext(self) -> str:
+        return f"https://{self.host}/comment/{self.wid}?ckAll=1"
+
+    def url_album(self) -> str:
+        return f"https://{self.host}/mblog/picAll/{self.wid}?rl=1"
+
+    def url_info(self) -> str:
+        return f"https://{self.host}/{self.uid}/info"
+
+    @property
+    def total_comment_pages(self) -> int:
+        n = self.n_comments
+        return (n // 10) + (1 if n % 10 > 0 else 0)
+
+    # --- comments -------------------------------------------------------
+    def comment(self, j: int, seed: int) -> dict:
+        r = _rng(seed, self.t, 100 + j)
+        cname = _name(r)
+        cuid = str(5_000_000_000 + self.t * 1000 + j)
+        reply = r.random() < 0.2
+        body = _sentence(r, 3, 15)
+        reply_to = _name(r) if reply else None
+        return {
+            "cid": "C" + _b62(7_000_000_000_000 + self.t * 100000 + j, width=8),
+            "cuid": cuid,
+            "cname": cname,
+            "body": body,
+            "reply_to": reply_to,
+            "like": r.randint(0, 50) if r.random() < 0.4 else 0,
+            "raw_time": _raw_time(r),
+            "tool": r.choice(_TOOLS),
+        }
+
+    def repost(self, p: int, j: int, seed: int) -> dict:
+        r = _rng(seed, self.t, 10_000 + p * 100 + j)
+        kind = r.random()
+        if kind < 0.3:
+            body = "转发微博"
+        elif kind < 0.35:
+            body = "转发微博已被删除"
+        else:
+            body = _sentence(r, 2, 12)
+        return {
+            "ruid": str(3_000_000_000 + self.t * 10000 + p * 100 + j),
+            "rname": _name(r),
+            "body": body,
+            "like": r.randint(0, 20) if r.random() < 0.3 else 0,
+            "raw_time": _raw_time(r),
+            "tool": r.choice(_TOOLS),
+        }
+
+
+# ---------------------------------------------------------------------------
+# HTML rendering + record-level oracle text
+# ---------------------------------------------------------------------------
+
+
+def _weibo_block_html(t: Target) -> str:
+    ctt = ":" + escape(t.content_short)
+    if t.has_longtext:
+        ctt += ' <a href="/comment/' + t.wid + '?ckAll=1">全文</a>'
+    album = f' <a href="https://{t.host}/mblog/picAll/{t.wid}?rl=1">组图共{t.n_images}张</a>' if t.has_album else ""
+    return (
+        f'<div class="c" id="M_{t.wid}">'
+        f'<div><a class="nk" href="https://{t.host}/u/{t.uid}">{escape(t.user_name)}</a>'
+        f'<span class="ctt">{ctt}</span>{album}</div>'
+        f'<div><span class="ct">{escape(t.raw_time)} 来自{escape(t.tool)}</span></div>'
+        f'<div><span class="cmt">评论[{t.n_comments}]</span> <a href="">赞[{t.like}]</a> '
+        f'<a href="">转发[{t.n_repost_total}]</a></div>'
+        f"</div>"
+    )
+
+
+def _weibo_oracle_content(t: Target) -> str:
+    """What the reference extracts from the main ctt span (truncated view)."""
+    raw = ":" + t.content_short + (" 全文" if t.has_longtext else "")
+    c = clean_text(raw)
+    if c.startswith(":"):
+        c = c[1:].strip()
+    return c
+
+
+def _comment_block_html(c: dict, host: str, hot: bool = False) -> str:
+    kt = '<span class="kt">[热门]</span>' if hot else ""
+    if c["reply_to"]:
+        inner = f'回复<a href="https://{host}/u/1{c["cuid"]}">@{escape(c["reply_to"])}</a>:{escape(c["body"])}'
+    else:
+        inner = escape(c["body"])
+    return (
+        f'<div class="c" id="C_{c["cid"]}">'
+        f'<a href="https://{host}/u/{c["cuid"]}">{escape(c["cname"])}</a>{kt}'
+        f'<span class="ctt">{inner}</span> '
+        f'<span class="cc"><a href="">赞[{c["like"]}]</a></span> '
+        f'<span class="ct">{escape(c["raw_time"])} 来自{escape(c["tool"])}</span>'
+        f"</div>"
+    )
+
+
+def _comment_oracle_content(c: dict) -> str:
+    raw = (f'回复@{c["reply_to"]}:' if c["reply_to"] else "") + c["body"]
+    content = clean_text(raw)
+    if content.startswith("回复"):
+        colon_idx = content.find(":")
+        if colon_idx > 0:
+            content = content[colon_idx + 1 :].strip()
+    return content
+
+
+def _repost_block_html(r: dict, host: str) -> str:
+    return (
+        f'<div class="c"><a href="https://{host}/u/{r["ruid"]}">{escape(r["rname"])}</a>'
+        f':{escape(r["body"])} '
+        f'<span class="cc"><a href="">赞[{r["like"]}]</a></span> '
+        f'<span class="ct">{escape(r["raw_time"])} 来自{escape(r["tool"])}</span>'
+        f"</div>"
+    )
+
+
+def _repost_oracle_content(r: dict) -> str:
+    """Record-level replay of `独立版/WeiboDeepAnalyzer.py:489-513` slicing."""
+    full = f'{r["rname"]}:{r["body"]} 赞[{r["like"]}] {r["raw_time"]} 来自{r["tool"]}'
+    pt = parse_time(r["raw_time"], ANCHOR)
+    if pt and pt in full:
+        full = full[: full.rfind(pt)]
+    full = re.sub(r"赞\[\d+\]", "", full)
+    if r["rname"] + ":" in full:
+        full = full.split(r["rname"] + ":", 1)[1]
+    return clean_text(full)
+
+
+_HEAD = "<html><head><title>微博广场</title></head><body>"
+_TAIL = "</body></html>"
+
+
+def render_target_pages(t: Target, seed: int) -> list[dict]:
+    """All pages rows for one target: (url, warc_ts, html, text, lang)."""
+    rows: list[dict] = []
+    r = _rng(seed, t.t, 3)
+    warc_base = ANCHOR - timedelta(days=1)
+
+    def emit(url: str, html: str, text: str):
+        ts = warc_base + timedelta(seconds=(len(rows) * 37 + t.t * 101) % 86400)
+        rows.append({"url": url, "warc_ts": ts, "html": html.encode("utf-8"), "text": text, "lang": t.lang})
+
+    comments = [t.comment(j, seed) for j in range(t.n_comments)]
+
+    # main content page /comment/{wid}
+    main_parts = [_weibo_oracle_content(t)]
+    first10 = comments[:10]
+    main_html = _HEAD + _weibo_block_html(t)
+    # a hot-comment duplicate shown before regular comments (skipped by engine)
+    if first10 and r.random() < 0.3:
+        main_html += _comment_block_html(first10[0], t.host, hot=True)
+    for c in first10:
+        main_html += _comment_block_html(c, t.host)
+        main_parts.append(_comment_oracle_content(c))
+    emit(t.url_main(), main_html + _TAIL, "\n".join(main_parts))
+
+    # fulltext page
+    if t.has_longtext:
+        ft_html = (
+            _HEAD
+            + f'<div class="c" id="M_{t.wid}">'
+            + f'<div><a class="nk" href="https://{t.host}/u/{t.uid}">{escape(t.user_name)}</a>'
+            + f'<span class="ctt">:{escape(t.full_content)}</span></div>'
+            + f'<div><span class="ct">{escape(t.raw_time)} 来自{escape(t.tool)}</span></div>'
+            + f'<div><span class="cmt">评论[{t.n_comments}]</span> <a href="">赞[{t.like}]</a></div>'
+            + "</div>"
+            + _TAIL
+        )
+        emit(t.url_fulltext(), ft_html, clean_text(t.full_content))
+
+    # album page
+    if t.has_album:
+        imgs = ""
+        for i in range(t.n_images):
+            style = "thumb180" if i % 2 == 0 else "wap180"
+            imgs += f'<img src="https://wx{(i % 4) + 1}.sinaimg.cn/{style}/pic{t.wid}_{i}.jpg"/>'
+        emit(t.url_album(), _HEAD + imgs + _TAIL, "")
+
+    # comment pages 1..N (page 1 repeats the main page's comment slice —
+    # the reference re-fetches ?page=1; FIXTURES.md §5 overlap/dup case)
+    for p in range(1, t.total_comment_pages + 1):
+        segment = comments[(p - 1) * 10 : p * 10]
+        html = _HEAD + _weibo_block_html(t)
+        parts = [_weibo_oracle_content(t)] if p == 1 else []
+        if p == 1 and first10 and r.random() < 0.3:
+            html += _comment_block_html(first10[0], t.host, hot=True)
+        # duplicate-overlap: first block of page p>=2 repeats last of page p-1
+        if p >= 2 and r.random() < 0.3:
+            dup = comments[(p - 1) * 10 - 1]
+            html += _comment_block_html(dup, t.host)
+            parts.append(_comment_oracle_content(dup))
+        for c in segment:
+            html += _comment_block_html(c, t.host)
+            parts.append(_comment_oracle_content(c))
+        # NOTE: p>=2 pages still carry the M block; oracle text counts it only
+        # on page 1 (kernel.page_text contract).
+        emit(t.url_comment_page(p), html + _TAIL, "\n".join(parts))
+
+    # repost pages 1..K, then one empty stop-probe page (scan-until-empty S6)
+    for p in range(1, t.n_repost_pages + 1):
+        html = _HEAD
+        # original-post skeleton without a direct <a> child (skipped by P2)
+        html += (
+            f'<div class="c"><div><a class="nk" href="https://{t.host}/u/{t.uid}">'
+            f'{escape(t.user_name)}</a><span class="ctt">:{escape(t.content_short)}</span></div></div>'
+        )
+        parts = []
+        for j in range(t.reposts_per_page):
+            rp = t.repost(p, j, seed)
+            html += _repost_block_html(rp, t.host)
+            parts.append(_repost_oracle_content(rp))
+        emit(t.url_repost_page(p), html + _TAIL, "\n".join(parts))
+    if t.n_repost_pages >= 0:
+        empty_p = t.n_repost_pages + 1
+        emit(t.url_repost_page(empty_p), _HEAD + "<div class=\"pa\" id=\"pagelist\">空</div>" + _TAIL, "")
+
+    # profile info page (user dim source, J1/J2)
+    rr = _rng(seed, t.t, 4)
+    gender = rr.choice(["男", "女"])
+    loc = rr.choice(_PLACES)
+    w_num, fo_num, fa_num = rr.randint(10, 9000), rr.randint(0, 2000), rr.randint(0, 100000)
+    info_html = (
+        f"<html><head><title>{escape(t.user_name)}的微博</title></head><body>"
+        f'<div class="tip2"><span>微博[{w_num}]</span>'
+        f"<span>关注[{fo_num}]</span>"
+        f"<span>粉丝[{fa_num}]</span></div>"
+        f'<div class="c">昵称:{escape(t.user_name)} 性别:{gender} 地区:{loc}</div>'
+        f"{_TAIL}"
+    )
+    info_text = clean_text(
+        f"微博[{w_num}]关注[{fo_num}]粉丝[{fa_num}]昵称:{t.user_name} 性别:{gender} 地区:{loc}"
+    )
+    emit(t.url_info(), info_html, info_text)
+
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Spark-native generation
+# ---------------------------------------------------------------------------
+
+
+def build_pages_df(spark, n_targets: int, seed: int = 42, partitions: int | None = None):
+    """Distributed deterministic generation: one task per target range slice.
+
+    Scales linearly with executors — the same code path generates a
+    sf0.001-sized table locally or a 100 TB table on a cluster.
+    """
+    partitions = partitions or max(8, min(n_targets // 64 + 1, 256))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for t_idx in pdf["id"]:
+                out.extend(render_target_pages(Target(seed, int(t_idx)), seed))
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return (
+        spark.range(0, n_targets, numPartitions=partitions)
+        .mapInPandas(gen, schema=PAGES)
+    )
+
+
+def seed_list(n_targets: int, seed: int = 42, n_seeds: int | None = None) -> list[str]:
+    """The crawl config: seed URLs in fixed order (targets-in-config-order,
+    SURVEY.md §2.6 O4). Returns the main /comment/{wid} url per target."""
+    n_seeds = n_seeds if n_seeds is not None else n_targets
+    return [Target(seed, t).url_main() for t in range(min(n_seeds, n_targets))]
+
+
+def write_pages(spark, out_dir: str, n_targets: int, seed: int = 42) -> None:
+    build_pages_df(spark, n_targets, seed).write.mode("overwrite").parquet(out_dir)
