@@ -1,0 +1,179 @@
+"""Crawl-core tests: bloom seen filter, politeness top-k, crawl-order
+equivalence vs the single-threaded reference simulator, partition-layout
+invariance, resume (SURVEY.md §5.3/5.5).
+
+One canonical crawl (fixture) is shared across assertions; the invariance and
+resume tests re-run with perturbed layouts/interruptions and must reproduce
+the canonical visit order exactly.
+"""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from wss_spark.crawl import bloom
+from wss_spark.crawl.frontier import CrawlConfig, run_crawl, visit_order
+from wss_spark.crawl.politeness import per_host_topk
+from wss_spark.crawl.simulator import canonicalize, simulate
+from wss_spark.functions.urls import canonicalize_url
+from wss_spark.synth import build_pages_df, seed_list
+
+M_BITS = 1 << 16
+N_BUCKETS = 8
+BUDGET = 5
+N_TARGETS = 8
+BLOCKED = [("weibo.cn", "/mblog/picAll")]  # hot-host album pages
+
+
+def test_bloom_no_false_negatives(spark):
+    urls = [(f"https://weibo.cn/comment/x{i}",) for i in range(500)]
+    df = bloom.with_hash_cols(
+        spark.createDataFrame(urls, "canon_url string"), n_buckets=N_BUCKETS
+    )
+    state = bloom.update(bloom.empty_state(spark, N_BUCKETS), df, M_BITS)
+    flagged = bloom.prefilter(df, state, M_BITS)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0  # no false negatives
+
+    fresh = bloom.with_hash_cols(
+        spark.createDataFrame(
+            [(f"https://weibo.cn/comment/y{i}",) for i in range(500)],
+            "canon_url string",
+        ),
+        n_buckets=N_BUCKETS,
+    )
+    fp = bloom.prefilter(fresh, state, M_BITS).filter(F.col("maybe_seen")).count()
+    assert fp < 50  # bloom prunes the vast majority of truly-new urls
+
+
+def test_bloom_incremental_update(spark):
+    a = bloom.with_hash_cols(
+        spark.createDataFrame([("https://h/a",)], "canon_url string"), n_buckets=N_BUCKETS
+    )
+    b = bloom.with_hash_cols(
+        spark.createDataFrame([("https://h/b",)], "canon_url string"), n_buckets=N_BUCKETS
+    )
+    st = bloom.update(bloom.empty_state(spark, N_BUCKETS), a, M_BITS)
+    st = bloom.update(st, b, M_BITS)
+    both = a.unionByName(b)
+    assert bloom.prefilter(both, st, M_BITS).filter(~F.col("maybe_seen")).count() == 0
+    assert st.agg(F.sum("count")).first()[0] == 2
+
+
+def test_per_host_topk_matches_naive_window(spark):
+    # skewed: 90% of rows on one host — exactly the north-rule scenario
+    rows = []
+    for i in range(2000):
+        host = "hot.example" if i % 10 != 0 else f"cold{i % 7}.example"
+        rows.append((f"https://{host}/p/{i:05d}", host, 0.0, i % 37, i % 3, 1 + i % 5))
+    df = spark.createDataFrame(
+        rows, "canon_url string, host string, priority double, seed_order long, stage int, page int"
+    )
+    got = per_host_topk(df, budget=25, n_salts=8)
+    w = Window.partitionBy("host").orderBy("priority", "seed_order", "stage", "page", "canon_url")
+    want = df.withColumn("host_rank", F.row_number().over(w)).filter(F.col("host_rank") <= 25)
+    assert got.count() == want.count()
+    assert (
+        got.select("canon_url", "host_rank")
+        .exceptAll(want.select("canon_url", "host_rank"))
+        .count()
+        == 0
+    )
+
+
+@pytest.fixture(scope="module")
+def crawl_world(spark, tmp_path_factory):
+    pages = build_pages_df(spark, N_TARGETS, seed=42).cache()
+    pages.count()
+    seeds = seed_list(N_TARGETS, seed=42)
+    page_map = {r["url"]: bytes(r["html"]) for r in pages.select("url", "html").collect()}
+    robots = spark.createDataFrame(
+        [(h, p, False, None) for h, p in BLOCKED],
+        "host string, path_prefix string, allowed boolean, crawl_delay int",
+    )
+    cfg = CrawlConfig(
+        budget=BUDGET, n_buckets=N_BUCKETS, m_bits=M_BITS,
+        checkpoint_dir=str(tmp_path_factory.mktemp("canon")),
+    )
+    res = run_crawl(spark, pages, seeds, cfg, robots=robots)
+    return {
+        "pages": pages,
+        "seeds": seeds,
+        "page_map": page_map,
+        "robots": robots,
+        "result": res,
+        "order": visit_order(res.fetch_log),
+    }
+
+
+def test_crawl_matches_reference_simulator(spark, crawl_world):
+    res = crawl_world["result"]
+    engine_seen = {r[0] for r in res.seen.select("canon_url").collect()}
+    sim_order, sim_seen = simulate(
+        crawl_world["page_map"], crawl_world["seeds"], BUDGET,
+        robots_blocked_prefixes=BLOCKED,
+    )
+    assert crawl_world["order"] == sim_order
+    assert engine_seen == sim_seen
+    assert len(sim_order) > N_TARGETS * 3  # the crawl actually expanded
+    # every admitted url resolved in the pages table
+    assert res.fetch_log.filter(F.col("status") == 404).count() == 0
+    # robots actually blocked something
+    assert res.fetch_log.filter(F.col("status") == 403).count() > 0
+
+
+def test_extracted_text_byte_identical_through_crawl(spark, crawl_world):
+    """North-star invariant: per-url extracted text == oracle text column,
+    byte-for-byte, for every page the crawl fetched."""
+    res = crawl_world["result"]
+    got = res.entities.filter(F.col("kind") == "page").select("url", "text")
+    joined = got.join(
+        crawl_world["pages"].select("url", F.col("text").alias("oracle")), "url"
+    )
+    n = joined.count()
+    assert n > 0
+    assert joined.filter(F.col("text") != F.col("oracle")).count() == 0
+
+
+def test_crawl_order_invariant_to_partitioning(spark, tmp_path, crawl_world):
+    """North rule: ordering is a pure function of data — bloom layout, salt
+    count, snapshot cadence, and input partitioning must not change it."""
+    cfg = CrawlConfig(budget=BUDGET, n_buckets=32, m_bits=M_BITS * 2, n_salts=64,
+                      checkpoint_every=3, checkpoint_dir=str(tmp_path / "alt"))
+    alt = run_crawl(
+        spark, crawl_world["pages"].repartition(17), crawl_world["seeds"], cfg,
+        robots=crawl_world["robots"],
+    )
+    assert visit_order(alt.fetch_log) == crawl_world["order"]
+
+
+def test_crawl_resume_equals_uninterrupted(spark, tmp_path, crawl_world):
+    part_dir = str(tmp_path / "part")
+    part_cfg = CrawlConfig(budget=BUDGET, n_buckets=N_BUCKETS, m_bits=M_BITS,
+                           max_waves=3, checkpoint_every=2, checkpoint_dir=part_dir)
+    run_crawl(spark, crawl_world["pages"], crawl_world["seeds"], part_cfg,
+              robots=crawl_world["robots"])
+    resumed_cfg = CrawlConfig(budget=BUDGET, n_buckets=N_BUCKETS, m_bits=M_BITS,
+                              checkpoint_every=2, checkpoint_dir=part_dir)
+    resumed = run_crawl(spark, crawl_world["pages"], crawl_world["seeds"],
+                        resumed_cfg, robots=crawl_world["robots"], resume=True)
+
+    assert visit_order(resumed.fetch_log) == crawl_world["order"]
+    full_seen = crawl_world["result"].seen.select("canon_url")
+    assert resumed.seen.select("canon_url").exceptAll(full_seen).count() == 0
+    assert full_seen.exceptAll(resumed.seen.select("canon_url")).count() == 0
+
+
+def test_canonicalize_parity(spark):
+    """Spark canonicalizer == simulator canonicalizer on every url family."""
+    urls = [
+        "https://weibo.cn/comment/Qb1?page=1",
+        "https://WEIBO.cn/comment/Qb1",
+        "https://weibo.cn/repost/Qb1?page=2#frag",
+        "https://weibo.cn/2000000001/info?",
+        "https://weibo.cn/mblog/picAll/Qb1?rl=1",
+        "https://weibo.cn/",
+        "https://weibo.cn/path/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
+    assert got == [canonicalize(u) for u in urls]

@@ -1,0 +1,143 @@
+"""Unit tests for the operator library (dedup / similarity / textstats /
+analytics / multimodal) on tiny hand-checked inputs."""
+
+from pyspark.sql import functions as F
+
+from wss_spark.operators import analytics, dedup, multimodal, similarity, textstats
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup(spark):
+    docs = _docs(spark, ["a b c", "a  B c", "x y z", "a b c"])  # 0,1,3 same normalized? 1 has B
+    groups = dedup.exact_dup_groups(docs).collect()
+    by_hash = {g["keep_id"]: g["dup_count"] for g in groups}
+    # "a b c" (0,3) collapse; "a b c"≠"a B c" (case-normalized → equal!)
+    # normalize lowercases: 0,1,3 are all "a b c"
+    assert by_hash == {0: 3, 2: 1}
+    kept = dedup.dedup_exact(docs).select("doc_id").collect()
+    assert sorted(r[0] for r in kept) == [0, 2]
+
+
+def test_shingles_and_jaccard(spark):
+    docs = _docs(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "completely different words entirely here now",
+        ],
+    )
+    sh = dedup.shingles(docs, 3)
+    pairs = dedup.jaccard_pairs(sh, threshold=0.3).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["doc_a"], p["doc_b"]) == (0, 1)
+    # 7 shingles each, 6 shared → 6/8
+    assert abs(p["jaccard"] - 0.75) < 1e-9
+
+
+def test_minhash_lsh_finds_duplicates(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(spark, [base, base, "one two three four five six seven eight nine ten"])
+    pairs = dedup.minhash_lsh_dedup(docs, n=3, k=8, threshold=0.9).collect()
+    assert [(p["doc_a"], p["doc_b"], p["jaccard"]) for p in pairs] == [(0, 1, 1.0)]
+
+
+def test_simhash_identity_and_pairs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(spark, [base, base, "unrelated totally other words list here"])
+    sims = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sims[0] == sims[1]
+    assert 0 <= sims[0] < (1 << dedup.SIMHASH_BITS)
+    pairs = dedup.simhash_near_pairs(dedup.simhash(docs), max_hamming=0).collect()
+    assert [(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs] == [(0, 1, 0)]
+
+
+def test_brute_force_cosine(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # farthest from 0
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    rows = got.orderBy("rank").collect()
+    assert [r["nid"] for r in rows] == [1, 2, 3]
+    assert rows[0]["sim"] > 0.99
+
+
+def test_srp_recalls_identical_vector(spark):
+    vecs = [(i, [float((i * 17 + d * 3) % 101 - 50) for d in range(16)]) for i in range(20)]
+    vecs.append((99, list(vecs[0][1])))  # exact duplicate of vec 0
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = similarity.srp_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=3, dim=16, n_planes=6, n_tables=4
+    ).collect()
+    by_rank = sorted(got, key=lambda r: r["rank"])
+    assert by_rank and by_rank[0]["nid"] == 99 and by_rank[0]["sim"] == 1.0
+
+
+def test_textstats_token_counts(spark):
+    docs = _docs(spark, ["Hello, world! 42 times", ""])
+    rows = {r["doc_id"]: r for r in textstats.token_counts(docs).collect()}
+    assert rows[0]["ws_tokens"] == 4
+    assert rows[0]["word_tokens"] == 4  # hello world 42 times
+    assert rows[1]["ws_tokens"] == 0
+
+
+def test_textstats_lang_id(spark):
+    docs = _docs(
+        spark,
+        [
+            "the cat and the dog of the house",
+            "der hund und die katze und der vogel",
+            "zzz qqq xxx",
+        ],
+    )
+    rows = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(docs).collect()}
+    assert rows[0] == "en" and rows[1] == "de" and rows[2] == "und"
+
+
+def test_analytics_keep_first_and_topk(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        "k string, id int, v double",
+    )
+    first = analytics.keep_first(df, ["k"], ["id"]).collect()
+    assert {(r["k"], r["id"]) for r in first} == {("a", 1), ("b", 4)}
+    top = analytics.topk_by_group(df, ["k"], "v", 1, tiebreak=["id"]).collect()
+    assert {(r["k"], r["id"]) for r in top} == {("a", 2), ("b", 4)}
+
+
+def test_analytics_sessionize(spark):
+    rows = [
+        (1, "2020-01-01 10:00:00", 1),
+        (1, "2020-01-01 10:10:00", 2),   # same session (gap 10m)
+        (1, "2020-01-01 11:30:00", 3),   # new session (gap 80m)
+        (2, "2020-01-01 10:00:00", 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string, event_id int").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in analytics.sessionize(df, "user_id", "ts", "event_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_multimodal_pipeline(spark):
+    media = multimodal.synth_media_df(spark, 50, seed=3)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    again = {r["media_id"]: r["feature_hash"] for r in multimodal.extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["feature_hash"] for r in rows)  # deterministic
+    dup = multimodal.media_dedup(media.unionByName(media))
+    assert dup.agg(F.max("dup_count")).first()[0] == 2

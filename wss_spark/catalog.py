@@ -1,0 +1,1030 @@
+"""Query catalog: every SURVEY.md §2 operator as a named (Spark query,
+DuckDB oracle SQL) pair over the driver's testdata tables, plus the
+training-data-pipeline operators (dedup / similarity / text analysis) and a
+few engine-native queries that are not SQL-expressible (rows-only checks).
+
+Conventions (driver contract):
+- every computed column is aliased IDENTICALLY in the Spark plan and the SQL;
+- doubles that aggregate across rows are ROUNDed (3-6 dp) on both sides so
+  floating-point summation order cannot flip the value hash;
+- integer widths match Spark's (`count`→BIGINT, `length`/`size`/`hour`→INT),
+  with explicit CASTs on the DuckDB side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wss_spark.operators import analytics, dedup, similarity, textstats
+
+
+@dataclass
+class Q:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None → not SQL-expressible; driver does rows-only check
+
+
+QUERIES: dict[str, Q] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = Q(fn, sql)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# SQL fragment shared by the doc pipelines (matches dedup.normalize_text)
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+# portable 28-bit hash (matches dedup.portable_hash28)
+def _h28(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 7)) AS BIGINT)"
+
+
+# ===========================================================================
+# §2.4 aggregations
+# ===========================================================================
+
+
+@_q(
+    "a1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 3) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 3) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 3) AS sum_charge,
+           ROUND(AVG(l_quantity), 3) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 3) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_summary(spark, sf):
+    """A1 count/sum aggregates (`独立版/WeiboDeepAnalyzer.py:552-576`) in
+    TPC-H Q1 shape; hits Parquet pushdown on l_shipdate."""
+    l = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-01 00:00:00").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
+        F.round(F.sum(disc), 3).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 3).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 3).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 3).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_q(
+    "a2_top_customers",
+    """
+    SELECT o_custkey, COUNT(*) AS order_cnt
+    FROM orders GROUP BY o_custkey
+    ORDER BY order_cnt DESC, o_custkey ASC LIMIT 10
+    """,
+)
+def a2_top_customers(spark, sf):
+    """A2 Counter.most_common(k) (`独立版/WeiboDeepAnalyzer.py:584-594`)."""
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("order_cnt"))
+        .orderBy(F.col("order_cnt").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+@_q(
+    "a3_doclen_by_lang",
+    """
+    SELECT lang, ROUND(AVG(length(text)), 3) AS avg_len, COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def a3_doclen_by_lang(spark, sf):
+    """A3 average content length (`独立版/WeiboDeepAnalyzer.py:596-600`)."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg(F.length("text")), 3).alias("avg_len"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+@_q(
+    "a4_len_stats_by_source",
+    """
+    SELECT source, ROUND(AVG(n_chars), 6) AS avg_len,
+           CAST(MIN(n_chars) AS BIGINT) AS min_len,
+           CAST(MAX(n_chars) AS BIGINT) AS max_len, COUNT(*) AS cnt
+    FROM documents GROUP BY source
+    """,
+)
+def a4_len_stats_by_source(spark, sf):
+    """A4 min/max/avg length stats (`独立版/examples_advanced.py:122-130`)."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("n_chars"), 6).alias("avg_len"),
+            F.min("n_chars").alias("min_len"),
+            F.max("n_chars").alias("max_len"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@_q(
+    "a5_events_hourly",
+    """
+    SELECT CAST(hour(ts) AS INTEGER) AS hour, COUNT(*) AS cnt
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def a5_events_hourly(spark, sf):
+    """A5 hour histogram (`独立版/examples_advanced.py:104-119`)."""
+    return analytics.hour_histogram(_t(spark, sf, "events"), "ts")
+
+
+@_q(
+    "a6_high_value_ratio",
+    """
+    SELECT event_type,
+           ROUND(AVG(CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END), 6) AS hi_ratio
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def a6_high_value_ratio(spark, sf):
+    """A6 ratio/classification agg (`独立版/examples_advanced.py:164-169`)."""
+    return analytics.ratio_agg(
+        _t(spark, sf, "events"), ["event_type"], F.col("value") > 50, "hi_ratio"
+    )
+
+
+@_q(
+    "a7_distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def a7_distinct_users(spark, sf):
+    """A7 distinct-user agg (`独立版/examples_advanced.py:219-234`)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("uniq_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@_q(
+    "a9_customer_order_profile",
+    """
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 3) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def a9_customer_order_profile(spark, sf):
+    """A9 cross-entity per-key summary (`独立版/examples_advanced.py:309-352`)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 3).alias("total_spend"),
+        )
+    )
+
+
+@_q(
+    "agg_rollup_nation_segment",
+    """
+    SELECT COALESCE(n.n_name, '(all)') AS nation,
+           COALESCE(c.c_mktsegment, '(all)') AS segment,
+           COUNT(*) AS cnt, ROUND(SUM(c.c_acctbal), 3) AS sum_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP(n.n_name, c.c_mktsegment)
+    """,
+)
+def agg_rollup_nation_segment(spark, sf):
+    """Rollup over the enrichment join (SURVEY.md §2.4 'free built-ins')."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .rollup("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("c_acctbal"), 3).alias("sum_bal"))
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("(all)")).alias("nation"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("(all)")).alias("segment"),
+            "cnt",
+            "sum_bal",
+        )
+    )
+
+
+@_q(
+    "agg_cube_type_hour",
+    """
+    SELECT COALESCE(event_type, '(all)') AS etype,
+           CAST(COALESCE(hour(ts), -1) AS INTEGER) AS hr, COUNT(*) AS cnt
+    FROM events GROUP BY CUBE(event_type, hour(ts))
+    """,
+)
+def agg_cube_type_hour(spark, sf):
+    e = _t(spark, sf, "events").withColumn("hr0", F.hour("ts"))
+    return (
+        e.cube("event_type", "hr0")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("etype"),
+            F.coalesce(F.col("hr0"), F.lit(-1)).cast("int").alias("hr"),
+            "cnt",
+        )
+    )
+
+
+@_q(
+    "a_value_median",
+    """
+    SELECT event_type, ROUND(MEDIAN(value), 4) AS med_value,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a_value_median(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.median("value"), 4).alias("med_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+# ===========================================================================
+# §2.5 windows / ranking
+# ===========================================================================
+
+
+@_q(
+    "w1_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 3) AS price,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders) WHERE rnk <= 3
+    """,
+)
+def w1_top_orders_per_customer(spark, sf):
+    """W1 top-k per group (`独立版/examples_advanced.py:92-95`)."""
+    return (
+        analytics.topk_by_group(
+            _t(spark, sf, "orders"), ["o_custkey"], "o_totalprice", 3,
+            tiebreak=["o_orderkey"],
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 3).alias("price"),
+            F.col("rank").alias("rnk"),
+        )
+    )
+
+
+@_q(
+    "w2_first_event_per_user",
+    """
+    SELECT user_id, event_id, event_type
+    FROM (SELECT user_id, event_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+          FROM events) WHERE rk = 1
+    """,
+)
+def w2_first_event_per_user(spark, sf):
+    """W2 keep-first per key (`独立版/(using)WeiboUserScrapy.py:447-456`)."""
+    return analytics.keep_first(
+        _t(spark, sf, "events"), ["user_id"], ["ts", "event_id"]
+    ).select("user_id", "event_id", "event_type")
+
+
+@_q(
+    "w3_budget_rank",
+    """
+    SELECT event_type, event_id, ROUND(value, 4) AS val, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT event_type, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rnk
+          FROM events) WHERE rnk <= 5
+    """,
+)
+def w3_budget_rank(spark, sf):
+    """W3 politeness-budget ranking shape (per-host rank ≤ budget,
+    SURVEY.md §2.5) over events-as-frontier."""
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        _t(spark, sf, "events")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("event_type", "event_id", F.round("value", 4).alias("val"), "rnk")
+    )
+
+
+@_q(
+    "w4_running_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS running_spend
+    FROM orders
+    """,
+)
+def w4_running_spend(spark, sf):
+    return analytics.running_sum(
+        _t(spark, sf, "orders"), ["o_custkey"], ["o_orderdate", "o_orderkey"],
+        "o_totalprice", "rs",
+    ).select("o_custkey", "o_orderkey", F.round("rs", 3).alias("running_spend"))
+
+
+@_q(
+    "w5_sessionize",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM (SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS NULL THEN 1
+                      WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id)) > 1800 THEN 1
+                      ELSE 0 END AS is_new
+          FROM events)
+    """,
+)
+def w5_sessionize(spark, sf):
+    """Gap-based sessions — batch form of streaming session windows (§2.9)."""
+    return analytics.sessionize(
+        _t(spark, sf, "events"), "user_id", "ts", "event_id", 1800
+    ).select("user_id", "event_id", "session_id")
+
+
+# ===========================================================================
+# §2.3 joins
+# ===========================================================================
+
+
+@_q(
+    "j1_supplier_revenue",
+    """
+    SELECT s.s_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 3) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def j1_supplier_revenue(spark, sf):
+    """J1 dim-lookup as broadcast hash join (`独立版/WeiboCommentScrapy.py:102-120`
+    N+1 fetches → one broadcast join)."""
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    return (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "j2_parttype_revenue",
+    """
+    SELECT p.p_type, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 3) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    """,
+)
+def j2_parttype_revenue(spark, sf):
+    """J2 publisher-profile lookup shape (`独立版/WeiboTopicScrapy.py:332-349`)."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_type")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "j3_region_revenue",
+    """
+    SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 3) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def j3_region_revenue(spark, sf):
+    """J3-shape multi-hop expansion join (TPC-H Q5 form): small dims broadcast,
+    big fact joins shuffle on keys."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "j5_customer_enriched",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name, r.r_name
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def j5_customer_enriched(spark, sf):
+    """J5 left-outer enrichment join (`独立版/WeiboUserInfoSpider.py:122-153`)."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left")
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "left")
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@_q(
+    "j6_nation_region",
+    "SELECT n.n_name, r.r_name FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey",
+)
+def j6_nation_region(spark, sf):
+    """J6 name→key resolution join (`独立版/SearchUser.py:63-92`)."""
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_name", "r_name"
+    )
+
+
+@_q(
+    "j7_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j7_customers_without_orders(spark, sf):
+    """J7 anti-join / skip-seen (`独立版/WeiboSuperCommentScrapy.py:393-397`)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "j7b_customers_with_orders",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j7b_customers_with_orders(spark, sf):
+    """Semi-join complement of J7 (work-skipping memoization, SURVEY.md §4)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select("c_custkey")
+
+
+@_q(
+    "j8_order_edges",
+    """
+    SELECT o.o_orderkey, c.c_custkey, CAST(c.c_nationkey AS INTEGER) AS c_nationkey
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 150000
+    """,
+)
+def j8_order_edges(spark, sf):
+    """J8 edge construction (`独立版/(using)WeiboRepostSpider.py:139-144`)."""
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 150000)
+    c = _t(spark, sf, "customer")
+    return o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "c_custkey", "c_nationkey"
+    )
+
+
+# ===========================================================================
+# §2.6 sorts / top-k ; §2.7 set ops
+# ===========================================================================
+
+
+@_q(
+    "o1_top10_orders",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 3) AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def o1_top10_orders(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 3).alias("price"))
+    )
+
+
+@_q(
+    "o2_top5_parts",
+    """
+    SELECT p_partkey, p_name, ROUND(p_retailprice, 3) AS price
+    FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 5
+    """,
+)
+def o2_top5_parts(spark, sf):
+    return (
+        _t(spark, sf, "part")
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(5)
+        .select("p_partkey", "p_name", F.round("p_retailprice", 3).alias("price"))
+    )
+
+
+@_q(
+    "u1_distinct_pairs",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def u1_distinct_pairs(spark, sf):
+    """U1 exact dedup by key (`dropDuplicates` shape)."""
+    return _t(spark, sf, "events").select("user_id", "event_type").distinct()
+
+
+@_q(
+    "u3_union_slices",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 250000
+    """,
+)
+def u3_union_slices(spark, sf):
+    """U3 union across crawl batches (`独立版/(using)WeiboRepostSpider.py:184-186`)."""
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
+    b = o.filter(F.col("o_totalprice") > 250000).select("o_orderkey", "o_orderstatus")
+    return a.unionByName(b).distinct()
+
+
+@_q(
+    "set_intersect_buyers",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def set_intersect_buyers(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o)
+
+
+@_q(
+    "set_except_nonbuyers",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def set_except_nonbuyers(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o.distinct()).distinct()
+
+
+# ===========================================================================
+# §2.8 scalar functions
+# ===========================================================================
+
+
+@_q(
+    "f_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def f_json_extract(spark, sf):
+    """F14 JSON get (`独立版/WeiboCnTopicSpiderWithoutCookie.py:107-130`)."""
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+@_q(
+    "f_date_parts",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 3) AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def f_date_parts(spark, sf):
+    """F17-adjacent date math (`独立版/WeiboTopicScrapy.py:492-512`)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 3).alias("revenue"))
+    )
+
+
+@_q(
+    "f_string_ops",
+    """
+    SELECT c_custkey, upper(c_name) AS uname, substring(c_name, 1, 8) AS pref,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS tag
+    FROM customer
+    """,
+)
+def f_string_ops(spark, sf):
+    """F8/F12/F13-adjacent string scalar surface."""
+    return _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 8).alias("pref"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("tag"),
+    )
+
+
+@_q(
+    "f_regex_extract",
+    r"""
+    SELECT p_partkey, regexp_extract(p_name, '(\d+)', 1) AS first_num,
+           CAST(length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS INTEGER)
+               AS consonant_len
+    FROM part
+    """,
+)
+def f_regex_extract(spark, sf):
+    """F3/F10 regex extraction surface."""
+    return _t(spark, sf, "part").select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"(\d+)", 1).alias("first_num"),
+        F.length(F.regexp_replace("p_name", "[aeiou]", "")).alias("consonant_len"),
+    )
+
+
+# ===========================================================================
+# training-data pipeline: dedup / similarity / text analysis
+# ===========================================================================
+
+_SH_SQL = f"""
+    docs AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    words AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM docs),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, ws,
+                        unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+                 FROM words))
+"""
+
+
+@_q(
+    "dd_exact_groups",
+    f"""
+    SELECT md5({_NORM}) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dd_exact_groups(spark, sf):
+    """Exact dedup groups by normalized-content hash."""
+    return dedup.exact_dup_groups(_t(spark, sf, "documents"))
+
+
+@_q(
+    "dd_jaccard_pairs",
+    f"""
+    WITH {_SH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """,
+)
+def dd_jaccard_pairs(spark, sf):
+    """N-gram Jaccard near-dup pairs (threshold 0.2 keeps the check
+    non-trivial on the synthetic corpus)."""
+    return dedup.jaccard_pairs(dedup.shingles(_t(spark, sf, "documents"), 3), 0.2)
+
+
+def _minhash_params_sql(k: int) -> str:
+    vals = ", ".join(f"({j}, {a}, {b})" for j, a, b in dedup.minhash_params(k))
+    return f"params(j, a, b) AS (VALUES {vals})"
+
+
+@_q(
+    "dd_minhash_signatures",
+    f"""
+    WITH {_SH_SQL},
+    {_minhash_params_sql(8)},
+    hx AS (SELECT doc_id, {_h28('shingle')} AS x FROM sh)
+    SELECT doc_id, j, MIN((a * x + b) % {dedup.MINHASH_P}) AS sig
+    FROM hx CROSS JOIN params GROUP BY doc_id, j
+    """,
+)
+def dd_minhash_signatures(spark, sf):
+    """MinHash signature matrix (k=8), portable-hash based."""
+    return dedup.minhash_signatures(dedup.shingles(_t(spark, sf, "documents"), 3), 8)
+
+
+@_q(
+    "dd_lsh_candidates",
+    f"""
+    WITH {_SH_SQL},
+    {_minhash_params_sql(8)},
+    hx AS (SELECT doc_id, {_h28('shingle')} AS x FROM sh),
+    sig AS (SELECT doc_id, j, MIN((a * x + b) % {dedup.MINHASH_P}) AS sig
+            FROM hx CROSS JOIN params GROUP BY doc_id, j),
+    bands AS (SELECT doc_id, j // 2 AS band,
+                     string_agg(sig::VARCHAR, ',' ORDER BY j) AS bkey
+              FROM sig GROUP BY doc_id, j // 2)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """,
+)
+def dd_lsh_candidates(spark, sf):
+    """MinHash-LSH candidate pairs (bands of 2 rows over k=8 signatures)."""
+    sh = dedup.shingles(_t(spark, sf, "documents"), 3)
+    return dedup.lsh_candidate_pairs(
+        dedup.lsh_bands(dedup.minhash_signatures(sh, 8), 2)
+    )
+
+
+@_q(
+    "dd_simhash",
+    f"""
+    WITH docs AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM docs),
+    tk AS (SELECT doc_id, {_h28('tok')} AS x FROM toks WHERE tok <> ''),
+    votes AS (SELECT doc_id, i,
+                     CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END AS v
+              FROM tk, generate_series(0, 27) AS s(i)),
+    sums AS (SELECT doc_id, i, SUM(v) AS sv FROM votes GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN sv > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM sums GROUP BY doc_id
+    """,
+)
+def dd_simhash(spark, sf):
+    """28-bit SimHash fingerprints over word tokens."""
+    return dedup.simhash(_t(spark, sf, "documents"))
+
+
+@_q("dd_simhash_pairs", None)  # banded-join engine path; rows-only check
+def dd_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs via pigeonhole bit-band blocking."""
+    return dedup.simhash_near_pairs(dedup.simhash(_t(spark, sf, "documents")), max_hamming=3)
+
+
+@_q(
+    "ann_cosine_topk",
+    """
+    WITH dims AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+                  FROM (SELECT vec_id, embedding,
+                               unnest(generate_series(1, len(embedding))) AS i
+                        FROM embeddings)),
+    norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM dims GROUP BY vec_id),
+    q AS (SELECT * FROM dims WHERE vec_id < 3),
+    dots AS (SELECT q.vec_id AS qid, d.vec_id AS nid, SUM(q.v * d.v) AS dot
+             FROM q JOIN dims d ON q.i = d.i AND d.vec_id <> q.vec_id
+             GROUP BY 1, 2),
+    scored AS (SELECT qid, nid, ROUND(dot / (nq.nrm * nn.nrm), 4) AS sim
+               FROM dots JOIN norms nq ON nq.vec_id = qid
+                         JOIN norms nn ON nn.vec_id = nid),
+    ranked AS (SELECT qid, nid, sim,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+               FROM scored)
+    SELECT qid, nid, CAST(rnk AS INTEGER) AS rnk, sim FROM ranked WHERE rnk <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-5 for query vectors vec_id < 3 (JVM-side
+    zip_with/aggregate — the exact baseline for ANN)."""
+    emb = _t(spark, sf, "embeddings")
+    return (
+        similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+        .withColumnRenamed("rank", "rnk")
+        .select("qid", "nid", "rnk", "sim")
+    )
+
+
+@_q("ann_srp_topk", None)  # approximate path; rows-only check
+def ann_srp_topk(spark, sf):
+    """Sign-random-projection LSH ANN (the 100 TB scale path)."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.srp_topk(emb, emb.filter(F.col("vec_id") < 3), k=5, dim=64)
+
+
+def _cnt_sql(t: str, m: str) -> str:
+    e = m.replace("'", "''")
+    return f"CAST((length({t}) - length(replace({t}, '{e}', ''))) / length('{e}') AS INT)"
+
+
+def _lang_sql() -> str:
+    t = "(' ' || lower(text) || ' ')"
+    scores = {
+        lang: " + ".join(_cnt_sql(t, m) for m in ms)
+        for lang, ms in textstats.LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(scores[lg] for lg in textstats.LANG_ORDER)}, 0)"
+    pred = "CASE "
+    for lg in textstats.LANG_ORDER:
+        pred += f"WHEN ({scores[lg]}) = {best} AND {best} > 0 THEN '{lg}' "
+    pred += "ELSE 'und' END"
+    return f"""
+    SELECT doc_id, {pred} AS lang_pred, CAST({best} AS INTEGER) AS lang_score
+    FROM documents
+    """
+
+
+@_q("ts_lang_id", _lang_sql())
+def ts_lang_id(spark, sf):
+    """Marker-stopword language ID heuristic."""
+    return textstats.lang_id(_t(spark, sf, "documents"))
+
+
+@_q(
+    "ts_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS INTEGER) AS ws_tokens,
+           CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x <> ''))
+               AS INTEGER) AS word_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars
+    FROM documents
+    """,
+)
+def ts_token_counts(spark, sf):
+    """Whitespace + BPE-ish word token counting."""
+    return textstats.token_counts(_t(spark, sf, "documents"))
+
+
+def _quality_sql() -> str:
+    t = "(' ' || lower(text) || ' ')"
+    stop = " + ".join(_cnt_sql(t, m) for m in textstats.LANG_MARKERS["en"])
+    return rf"""
+    SELECT doc_id,
+           ROUND(q_len, 6) AS q_len, q_word, ROUND(q_stop, 6) AS q_stop,
+           ROUND(q_len * 0.4 + q_word * 0.3 + q_stop * 0.3, 6) AS quality
+    FROM (
+      SELECT doc_id,
+             least(length(text) / 500.0, 1.0) AS q_len,
+             CASE WHEN (length(text) /
+                        greatest(len(list_filter(string_split_regex(text, '\s+'),
+                                                 x -> x <> '')), 1)) BETWEEN 3 AND 12
+                  THEN 1.0 ELSE 0.0 END AS q_word,
+             least(({stop}) / 5.0, 1.0) AS q_stop
+      FROM documents)
+    """
+
+
+@_q("ts_quality", _quality_sql())
+def ts_quality(spark, sf):
+    """Deterministic document quality score."""
+    return textstats.quality_score(_t(spark, sf, "documents"))
+
+
+@_q(
+    "ts_fingerprint",
+    f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+)
+def ts_fingerprint(spark, sf):
+    """Content fingerprint (md5 of normalized text)."""
+    return textstats.fingerprint(_t(spark, sf, "documents"))
+
+
+# ===========================================================================
+# engine-native queries (not SQL-expressible → rows-only checks)
+# ===========================================================================
+
+
+@_q("crawl_fetch_log", None)
+def crawl_fetch_log(spark, sf):
+    """End-to-end crawl of a small synthetic pages table: returns the
+    deterministic fetch log (the north-star scheduler in one query)."""
+    import tempfile
+
+    from wss_spark.crawl.frontier import CrawlConfig, run_crawl
+    from wss_spark.synth import build_pages_df, seed_list
+
+    pages = build_pages_df(spark, 8, seed=42)
+    cfg = CrawlConfig(budget=6, n_buckets=8, m_bits=1 << 16,
+                      checkpoint_dir=tempfile.mkdtemp(prefix="wss_q_"))
+    res = run_crawl(spark, pages, seed_list(8, seed=42), cfg)
+    return res.fetch_log.select(
+        "canon_url", "host", "wave", "rank_in_wave", "stage", "page", "status"
+    )
+
+
+@_q("extract_entities_comments", None)
+def extract_entities_comments(spark, sf):
+    """html→typed comment rows through the vectorized extraction UDF."""
+    from wss_spark.extraction.parse_page import extract_comments, parse_pages
+    from wss_spark.synth import build_pages_df
+
+    pages = build_pages_df(spark, 12, seed=42)
+    return extract_comments(parse_pages(pages))
+
+
+@_q("media_features", None)
+def media_features(spark, sf):
+    """Multimodal plumbing: opaque binary payloads → deterministic features
+    via Arrow-batched mapInPandas (decoder stubbed; see operators.multimodal)."""
+    from wss_spark.operators import multimodal
+
+    media = multimodal.synth_media_df(spark, 300, seed=42)
+    return multimodal.extract_features(media)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.sql for name, q in QUERIES.items() if q.sql is not None}

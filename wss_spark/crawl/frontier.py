@@ -1,0 +1,314 @@
+"""The crawl wave engine: frontier → seen-filter → politeness → fetch →
+extract → discover, checkpointed per wave.
+
+This is the distributed re-expression of the reference's fetch loops
+(`独立版/WeiboDeepAnalyzer.py:693-736`, `独立版/(using)WeiboUserScrapy.py:525-546`):
+"fetch" is a join of the admitted frontier against the pages table (the
+sandbox has no live HTTP; at production the join target is the warehouse's
+fetched-pages Iceberg table and misses go to a fetcher service).
+
+Determinism (north rule): the visit order is
+``(wave, priority, seed_order, stage, page, canon_url)`` — a pure function of
+the data. Parallelism level, partition count, AQE decisions, and bloom
+parameters change none of it (equivalence tests pin this against the
+single-threaded simulator and across local[4]/local[8]).
+
+Scale notes (10^10-URL frontier):
+- every join/dedup keys on ``canon_url`` / (bucket, url_hash) — salted-hash
+  distributed, never host-keyed (one hot host would collapse a host-keyed
+  shuffle to one task; see politeness.per_host_topk for the two-phase rank).
+- the bloom prefilter keeps the exact seen anti-join off the definitely-new
+  majority; the exact join runs only on the maybe-seen slice.
+- per-wave state is snapshot-checkpointed and read back, which both truncates
+  DataFrame lineage (no ever-growing plans) and makes every wave resumable.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wss_spark.crawl import bloom, checkpoint
+from wss_spark.crawl.discover import discover, seeds_to_frontier
+from wss_spark.crawl.politeness import ORDER_COLS, robots_gate, split_by_budget
+from wss_spark.extraction.kernel import ANCHOR
+from wss_spark.extraction.parse_page import parse_pages
+from wss_spark.functions.urls import DEFAULT_SALT
+from wss_spark.schema import SEEN_URLS
+
+
+@dataclass
+class CrawlConfig:
+    # politeness: max fetches per host per wave. None = unbounded (throughput
+    # mode): admission skips ranking entirely — with no cap there is no
+    # top-k to compute, and the per-host exact rank window would otherwise
+    # serialize the hot host (the exact skew the north rule forbids).
+    budget: int | None = 8
+    max_waves: int = 200
+    n_buckets: int = 64              # bloom/seen partitions (prod: 16384)
+    m_bits: int = 1 << 20            # bloom bits per bucket (prod: 1<<23)
+    bloom_k: int = 6
+    n_salts: int = 16                # two-phase rank salt slices
+    salt: int = DEFAULT_SALT
+    now: datetime = ANCHOR
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 4        # snapshot cadence in waves
+    # defer per-wave fetch/entity log writes: keep them as persisted
+    # DataFrames and union at the end. Cuts per-wave latency for
+    # throughput benchmarks; per-wave appends (default) are the resumable
+    # production path.
+    defer_logs: bool = False
+
+
+@dataclass
+class CrawlResult:
+    waves: int
+    checkpoint_dir: str
+    fetch_log: DataFrame
+    entities: DataFrame
+    seen: DataFrame
+    metrics: list[dict] = field(default_factory=list)
+
+
+_METRICS_SCHEMA = (
+    "wave int, n_frontier long, n_new long, n_admitted long, n_deferred long, "
+    "n_entities long, wall_s double"
+)
+
+
+def _dedup_in_wave(frontier: DataFrame) -> DataFrame:
+    """Keep-first per canon_url within a wave (W2 keep-first semantics,
+    `独立版/(using)WeiboUserScrapy.py:447-456`): best ordering keys win."""
+    w = Window.partitionBy("canon_url").orderBy(*[F.col(c).asc() for c in ORDER_COLS])
+    return (
+        frontier.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seed_urls: list[str],
+    config: CrawlConfig | None = None,
+    robots: DataFrame | None = None,
+    resume: bool = False,
+) -> CrawlResult:
+    cfg = config or CrawlConfig()
+    root = cfg.checkpoint_dir or tempfile.mkdtemp(prefix="wss_crawl_")
+
+    # fetch target: exact url → html (the reference fetches literal urls;
+    # canonicalization exists only for the seen set, where /comment/W and
+    # /comment/W?page=1 are the same resource)
+    pages_idx = pages.select("url", "html").dropDuplicates(["url"]).persist()
+
+    snap = checkpoint.latest_snapshot(root) if resume else None
+    if snap is not None:
+        frontier, seen, bloom_state = checkpoint.read_state(spark, root, snap.wave)
+        wave = snap.wave + 1
+        metrics: list[dict] = []
+    else:
+        frontier = seeds_to_frontier(spark, seed_urls)
+        seen = spark.createDataFrame([], SEEN_URLS)
+        bloom_state = bloom.empty_state(spark, cfg.n_buckets)
+        wave = 0
+        metrics = []
+
+    fetch_log_parts: list[DataFrame] = []
+    entity_parts: list[DataFrame] = []
+    last_committed = wave - 1
+    while wave < cfg.max_waves:
+        t0 = time.time()
+        frontier = frontier.persist()
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+
+        # 1. in-wave dedup + salted hash/bucket columns
+        cand = bloom.with_hash_cols(
+            _dedup_in_wave(frontier), "canon_url", cfg.n_buckets, cfg.salt
+        )
+
+        # 2. seen filter: bloom prefilter → exact anti-join on the maybe slice
+        flagged = bloom.prefilter(cand, bloom_state, cfg.m_bits, cfg.bloom_k)
+        definitely_new = flagged.filter(~F.col("maybe_seen"))
+        maybe = flagged.filter(F.col("maybe_seen"))
+        confirmed_new = maybe.join(
+            seen.select("bucket", "url_hash", "canon_url"),
+            on=["bucket", "url_hash", "canon_url"],
+            how="left_anti",
+        )
+        new = definitely_new.unionByName(confirmed_new).drop("maybe_seen")
+
+        # 3. robots gate (blocked rows are marked seen, logged, never fetched)
+        if robots is not None:
+            allowed = robots_gate(new, robots)
+            blocked = new.join(allowed.select("canon_url"), "canon_url", "left_anti")
+        else:
+            allowed, blocked = new, None
+
+        # 4. politeness: ≤ budget per host this wave, rest deferred
+        if cfg.budget is None:
+            admitted = allowed.withColumn("host_rank", F.lit(-1))
+            deferred = None
+        else:
+            admitted, deferred = split_by_budget(allowed, cfg.budget, cfg.n_salts)
+        admitted = admitted.persist()
+        n_admitted = admitted.count()
+
+        # 5. "fetch": join against the pages table; record per-partition lineage
+        fetched = admitted.join(pages_idx, on="url", how="left")
+        fetch_log = fetched.select(
+            "url",
+            "canon_url",
+            "host",
+            "seed_order",
+            "stage",
+            "page",
+            "priority",
+            F.lit(wave).alias("wave"),
+            F.col("host_rank").alias("rank_in_wave"),
+            F.when(F.col("html").isNotNull(), F.lit(200)).otherwise(F.lit(404)).alias("status"),
+            F.lit(cfg.now).alias("fetched_at"),
+            F.spark_partition_id().alias("partition_id"),
+        )
+        if blocked is not None:
+            fetch_log = fetch_log.unionByName(
+                blocked.select(
+                    "url", "canon_url", "host", "seed_order", "stage", "page",
+                    "priority", F.lit(wave).alias("wave"),
+                    F.lit(-1).alias("rank_in_wave"), F.lit(403).alias("status"),
+                    F.lit(cfg.now).alias("fetched_at"),
+                    F.spark_partition_id().alias("partition_id"),
+                )
+            )
+        if cfg.defer_logs:
+            fetch_log_parts.append(fetch_log.persist())
+        else:
+            checkpoint.write_log(root, "fetch_log", wave, fetch_log)
+
+        # 6. extract (one Arrow pass over this wave's pages)
+        ok = fetched.filter(F.col("html").isNotNull()).select("url", "html")
+        parsed = parse_pages(ok, cfg.now).persist()
+        if cfg.defer_logs:
+            entity_parts.append(parsed)
+        else:
+            checkpoint.write_log(root, "entities", wave, parsed)
+
+        # 7. state update: seen ∪ admitted ∪ blocked; bloom OR-in
+        newly_seen = admitted.select("bucket", "url_hash", "canon_url")
+        if blocked is not None:
+            newly_seen = newly_seen.unionByName(
+                blocked.select("bucket", "url_hash", "canon_url")
+            )
+        seen_next = seen.unionByName(newly_seen)
+        bloom_next = bloom.update(bloom_state, newly_seen, cfg.m_bits, cfg.bloom_k)
+
+        # 8. discover next wave; deferred rows re-enter unchanged
+        next_frontier = discover(parsed, admitted)
+        if deferred is not None:
+            next_frontier = deferred.select(
+                *[f.name for f in frontier.schema.fields]
+            ).unionByName(next_frontier)
+
+        # 9. snapshot every ``checkpoint_every`` waves (write + read back,
+        # truncating DataFrame lineage so plans never grow across waves);
+        # in-between waves just persist — lineage depth stays bounded by the
+        # snapshot cadence.
+        if wave % cfg.checkpoint_every == 0:
+            checkpoint.write_snapshot(
+                root, wave, next_frontier, seen_next, bloom_next,
+                {"n_frontier": n_frontier, "n_admitted": n_admitted},
+            )
+            next_frontier, seen_next, bloom_next = checkpoint.read_state(spark, root, wave)
+        else:
+            # localCheckpoint TRUNCATES the logical plan (persist alone does
+            # not): without it the wave-over-wave plan nests multiplicatively
+            # (discover() unions six branches over the previous wave's plan)
+            # and Catalyst analysis time explodes after a few waves.
+            next_frontier = next_frontier.localCheckpoint(eager=True)
+            seen_next = seen_next.localCheckpoint(eager=True)
+            bloom_next = bloom_next.localCheckpoint(eager=True)
+        last_committed = wave
+
+        metrics.append(
+            {
+                "wave": wave,
+                "n_frontier": int(n_frontier),
+                "n_admitted": int(n_admitted),
+                "wall_s": time.time() - t0,
+            }
+        )
+
+        frontier.unpersist()
+        if not cfg.defer_logs:
+            # deferred logs still reference admitted/parsed caches; otherwise
+            # drop them
+            admitted.unpersist()
+            parsed.unpersist()
+        # the new states are eagerly materialized (snapshot or
+        # localCheckpoint), so the previous wave's cached state can go
+        old_seen, old_bloom = seen, bloom_state
+        frontier, seen, bloom_state = next_frontier, seen_next, bloom_next
+        old_seen.unpersist()
+        old_bloom.unpersist()
+        if n_admitted == 0 and n_frontier > 0:
+            break  # everything left is blocked/unseen-able; avoid spinning
+        wave += 1
+
+    # terminal snapshot so a completed (or max_waves-cut) crawl resumes from
+    # its true final state even off the snapshot cadence
+    if metrics and (metrics[-1]["wave"] % cfg.checkpoint_every != 0):
+        checkpoint.write_snapshot(
+            root, metrics[-1]["wave"], frontier, seen, bloom_state,
+            {"n_frontier": -1, "n_admitted": metrics[-1]["n_admitted"]},
+        )
+    if metrics:
+        checkpoint.write_log(
+            root, "metrics", metrics[-1]["wave"],
+            spark.createDataFrame(
+                [
+                    (m["wave"], m["n_frontier"], -1, m["n_admitted"], 0, -1, m["wall_s"])
+                    for m in metrics
+                ],
+                _METRICS_SCHEMA,
+            ),
+        )
+
+    if cfg.defer_logs:
+        fetch_log_all = fetch_log_parts[0] if fetch_log_parts else None
+        for part in fetch_log_parts[1:]:
+            fetch_log_all = fetch_log_all.unionByName(part)
+        entities_all = entity_parts[0] if entity_parts else None
+        for part in entity_parts[1:]:
+            entities_all = entities_all.unionByName(part)
+    else:
+        pages_idx.unpersist()
+        fetch_log_all = checkpoint.read_log(spark, root, "fetch_log", up_to_wave=last_committed)
+        entities_all = checkpoint.read_log(spark, root, "entities", up_to_wave=last_committed)
+    return CrawlResult(
+        waves=wave,
+        checkpoint_dir=root,
+        fetch_log=fetch_log_all,
+        entities=entities_all,
+        seen=seen,
+        metrics=metrics,
+    )
+
+
+def visit_order(fetch_log: DataFrame) -> list[str]:
+    """The crawl's deterministic visit order (fetched urls only), for
+    equivalence checks: sorted by the pure-data ordering keys."""
+    rows = (
+        fetch_log.filter(F.col("status") != 403)
+        .orderBy("wave", "priority", "seed_order", "stage", "page", "canon_url")
+        .select("canon_url")
+        .collect()
+    )
+    return [r[0] for r in rows]

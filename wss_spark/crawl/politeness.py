@@ -1,0 +1,116 @@
+"""Per-host politeness scheduling + robots gating (north-rule scheduler).
+
+The reference enforces politeness with per-request sleeps on its single
+thread (`独立版/WeiboCommentScrapy.py:184`, `独立版/(using)WeiboUserScrapy.py:542-545`)
+— i.e. an implicit serialized per-host queue. The engine's declarative
+equivalent: each wave admits at most ``budget`` URLs per host, chosen by a
+deterministic priority order; everything else stays queued. Randomized sleep
+*durations* are pacing, not semantics (SURVEY.md §7.3), so the budget is the
+only scheduling input — same seed list + same budget ⇒ same visit order at
+any parallelism.
+
+Skew: the reference's world is one host (weibo.cn ≈ 100% of traffic). A naive
+``Window.partitionBy(host)`` rank would send a 10^10-row frontier to ONE task.
+Two-phase rank instead:
+
+  phase 1: rank within (host, salt-slice); keep rank ≤ budget.
+           Correct pruning: if a row already has ≥ budget better rows in its
+           own slice, it cannot be in the host's global top-budget.
+           → at most budget × n_salts survivors per host.
+  phase 2: exact rank over the survivors only (tiny), keep rank ≤ budget.
+
+This is the same partial→final shape as Spark's hash aggregation, applied to
+top-k. ``n_salts`` bounds per-task work at frontier_size/(hosts×n_salts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Deterministic frontier priority: config order first, then stage, then page,
+# then canonical url as the total-order tiebreak (SURVEY.md §2.6 O4).
+ORDER_COLS = ["priority", "seed_order", "stage", "page", "canon_url"]
+
+
+def _order_by(cols: list[str] | None) -> list[Column]:
+    return [F.col(c).asc() for c in (cols or ORDER_COLS)]
+
+
+def per_host_topk(frontier: DataFrame, budget: int, n_salts: int = 32,
+                  order_cols: list[str] | None = None,
+                  host_col: str = "host") -> DataFrame:
+    """Admit ≤ ``budget`` rows per host this wave; adds ``host_rank``.
+
+    Deterministic: the result set and ranks are a pure function of the data
+    (ORDER_COLS ends in canon_url, a key), never of partition layout.
+    """
+    order = _order_by(order_cols)
+    salt = F.pmod(F.xxhash64(F.col("canon_url"), F.lit(0x9A17)), F.lit(n_salts))
+    w1 = Window.partitionBy(F.col(host_col), salt).orderBy(*order)
+    survivors = (
+        frontier.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= budget)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(host_col).orderBy(*order)
+    return (
+        survivors.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= budget)
+    )
+
+
+def split_by_budget(frontier: DataFrame, budget: int, n_salts: int = 32,
+                    order_cols: list[str] | None = None) -> tuple[DataFrame, DataFrame]:
+    """(admitted, deferred): deferred rows re-enter the next wave unchanged.
+
+    Deferred is computed as an anti-join on canon_url (a key) so the two
+    halves partition the frontier exactly.
+    """
+    admitted = per_host_topk(frontier, budget, n_salts, order_cols)
+    deferred = frontier.join(
+        admitted.select("canon_url"), on="canon_url", how="left_anti"
+    )
+    return admitted, deferred
+
+
+# ---------------------------------------------------------------------------
+# robots gating (new design element — the reference has no robots handling;
+# required by the north rule)
+# ---------------------------------------------------------------------------
+
+
+def robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Keep only frontier rows allowed by the robots rules table.
+
+    ``robots(host, path_prefix, allowed, crawl_delay)``: longest matching
+    prefix per (host, url-path) wins; hosts with no rule default to allowed
+    (standard robots semantics). The rules table is tiny (one row per
+    host×prefix) → broadcast join; the longest-prefix resolution is a
+    groupBy over the few matched rows, not the frontier.
+    """
+    path = F.regexp_replace(F.col("canon_url"), r"^[a-z][a-z0-9+.-]*://[^/]+", "")
+    matches = (
+        frontier.withColumn("_path", path)
+        .join(F.broadcast(robots), on="host", how="left")
+        .withColumn(
+            "_hit",
+            F.col("path_prefix").isNotNull()
+            & F.col("_path").startswith(F.col("path_prefix")),
+        )
+    )
+    w = Window.partitionBy("canon_url").orderBy(
+        F.col("_hit").desc(), F.length("path_prefix").desc()
+    )
+    resolved = (
+        matches.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .withColumn(
+            "allowed_final",
+            F.when(F.col("_hit"), F.col("allowed")).otherwise(F.lit(True)),
+        )
+    )
+    return (
+        resolved.filter(F.col("allowed_final"))
+        .drop("_path", "_hit", "_rk", "path_prefix", "allowed", "allowed_final", "crawl_delay")
+    )

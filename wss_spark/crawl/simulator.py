@@ -1,0 +1,135 @@
+"""Single-threaded reference crawl simulator (crawl-order oracle).
+
+A ~100-line plain-Python implementation of the reference's crawl semantics —
+targets in config order, stages in program order (content → full-text →
+album → comment pages → repost pages until empty → author profile;
+`独立版/WeiboDeepAnalyzer.py:693-736`), URL-seen as an exact set, per-host
+politeness budget per wave — with NO Spark. Equivalence tests
+(SURVEY.md §5.3) assert the engine's visit order and final seen set equal
+this simulator's, under the same seed list + budget.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime
+
+from wss_spark.extraction import kernel
+from wss_spark.extraction.kernel import ANCHOR
+
+_HOST = re.compile(r"^[a-z][a-z0-9+.-]*://([^/?#]+)")
+
+
+def canonicalize(url: str) -> str:
+    """Mirror of functions.urls.canonicalize_url (kept independent on purpose:
+    two implementations cross-check each other in tests)."""
+    url = re.sub(r"#.*$", "", url)
+    m = re.match(r"^([a-z][a-z0-9+.-]*://[^/?#]+)(.*)$", url)
+    scheme_host, rest = m.group(1).lower(), m.group(2)
+    rest = re.sub(r"\?page=1$", "", rest)
+    rest = re.sub(r"\?$", "", rest)
+    if rest == "":
+        rest = "/"
+    if len(rest) > 1 and rest.endswith("/"):
+        rest = rest[:-1]
+    return scheme_host + rest
+
+
+def _host(url: str) -> str:
+    return _HOST.match(url).group(1)
+
+
+def _discover(url: str, html: bytes, now: datetime) -> list[tuple[int, int, str]]:
+    """(stage, page, url) children of one fetched page — the reference's
+    program-order expansion, same rules as crawl.discover."""
+    root = kernel.parse_html(html)
+    kind, rid, page = kernel.classify_url(url)
+    host = _host(url)
+    out: list[tuple[int, int, str]] = []
+    if kind == "comment" and page == 1:
+        w = kernel.extract_weibo_from_page(root, now, rid or "")
+        if w is not None:
+            if w["fulltext_href"]:
+                href = w["fulltext_href"]
+                if not href.startswith("http"):
+                    href = f"https://{host}{href}"
+                out.append((1, 1, href))
+            if w["album_href"]:
+                href = w["album_href"]
+                if not href.startswith("http"):
+                    href = f"https://{host}{href}"
+                out.append((2, 1, href))
+            for p in range(2, w["total_comment_pages"] + 1):
+                out.append((3, p, f"https://{host}/comment/{rid}?page={p}"))
+            out.append((4, 1, f"https://{host}/repost/{rid}?page=1"))
+            if w["user_id"]:
+                out.append((5, 1, f"https://{host}/{w['user_id']}/info"))
+    elif kind == "repost":
+        if kernel.extract_reposts_from_page(root, now):
+            out.append((4, page + 1, f"https://{host}/repost/{rid}?page={page + 1}"))
+    return out
+
+
+def simulate(
+    pages: dict[str, bytes],
+    seed_urls: list[str],
+    budget: int,
+    max_waves: int = 200,
+    robots_blocked_prefixes: list[tuple[str, str]] | None = None,
+    now: datetime = ANCHOR,
+) -> tuple[list[str], set[str]]:
+    """→ (visit order of canon urls, final seen set). ``pages`` maps the
+    exact url → html bytes (fetch is by literal url, like the reference)."""
+    blocked_rules = robots_blocked_prefixes or []
+
+    def is_blocked(canon: str) -> bool:
+        h = _host(canon)
+        path = re.sub(r"^[a-z][a-z0-9+.-]*://[^/]+", "", canon)
+        return any(h == bh and path.startswith(bp) for bh, bp in blocked_rules)
+
+    # frontier rows: (priority, seed_order, stage, page, canon, url)
+    frontier = [
+        (0.0, i, 0, 1, canonicalize(u), u) for i, u in enumerate(seed_urls)
+    ]
+    seen: set[str] = set()
+    order: list[str] = []
+    wave = 0
+    while frontier and wave < max_waves:
+        # in-wave dedup keep-best
+        best: dict[str, tuple] = {}
+        for row in frontier:
+            c = row[4]
+            if c not in best or row[:4] + (c,) < best[c][:4] + (c,):
+                best[c] = row
+        new = [r for r in best.values() if r[4] not in seen]
+        allowed = []
+        for r in new:
+            if is_blocked(r[4]):
+                seen.add(r[4])
+            else:
+                allowed.append(r)
+        allowed.sort(key=lambda r: (r[0], r[1], r[2], r[3], r[4]))
+        taken_per_host: dict[str, int] = {}
+        admitted, deferred = [], []
+        for r in allowed:
+            h = _host(r[4])
+            if taken_per_host.get(h, 0) < budget:
+                taken_per_host[h] = taken_per_host.get(h, 0) + 1
+                admitted.append(r)
+            else:
+                deferred.append(r)
+        nxt: list[tuple] = []
+        for r in admitted:
+            prio, seed_order, stage, page, canon, url = r
+            seen.add(canon)
+            order.append(canon)
+            html = pages.get(url)
+            if html is None:
+                continue
+            for cstage, cpage, curl in _discover(url, html, now):
+                nxt.append((prio, seed_order, cstage, cpage, canonicalize(curl), curl))
+        frontier = deferred + nxt
+        if not admitted and deferred:
+            break
+        wave += 1
+    return order, seen

@@ -94,8 +94,14 @@ class Node:
         return r[0] if r else None
 
 
-def parse_html(html: str | bytes) -> Node:
-    """Parse the well-formed HTML subset the pages table contains."""
+def parse_html(html: str | bytes | None) -> Node:
+    """Parse the well-formed HTML subset the pages table contains.
+
+    Tolerant by design: null/empty/garbage input yields an (empty) tree,
+    never an exception — a fetch pipeline must survive bad payloads.
+    """
+    if html is None:
+        html = ""
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", "replace")
     root = Node("#root")

@@ -1,0 +1,119 @@
+"""Aggregation / window / sort / set operators (SURVEY.md §2.4-2.7).
+
+Library functions mirroring the reference's stats surface
+(`独立版/WeiboDeepAnalyzer.py:548-600` generate_stats,
+`独立版/examples_advanced.py` analyses) as declarative DataFrame ops —
+Catalyst handles partial aggregation, broadcast choice, and AQE; nothing here
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_by_group(df: DataFrame, group_cols: list[str], order_col: str,
+                  k: int, ascending: bool = False,
+                  tiebreak: list[str] | None = None) -> DataFrame:
+    """W1/A2 — deterministic top-k per group: `sorted(...)[:k]` /
+    `Counter.most_common(k)` (`独立版/WeiboDeepAnalyzer.py:584-594`).
+    Always supply tiebreak key columns so results are order-stable."""
+    order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
+    order += [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def keep_first(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """W2 — keep-first-per-key dedup (`drop_duplicates(keep='first')`,
+    `独立版/(using)WeiboUserScrapy.py:447-456`): the row with the smallest
+    ``order_cols`` tuple survives."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def count_top_names(df: DataFrame, name_col: str, k: int = 10) -> DataFrame:
+    """A2 — ``Counter(names).most_common(k)``
+    (`独立版/WeiboDeepAnalyzer.py:584-594`)."""
+    return (
+        df.groupBy(name_col)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col(name_col).asc())
+        .limit(k)
+    )
+
+
+def hour_histogram(df: DataFrame, ts_col: str) -> DataFrame:
+    """A5 — activity histogram by hour of day
+    (`独立版/examples_advanced.py:104-119`)."""
+    return (
+        df.groupBy(F.hour(F.col(ts_col)).alias("hour"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("hour")
+    )
+
+
+def length_stats(df: DataFrame, text_col: str, group_cols: list[str]) -> DataFrame:
+    """A3/A4 — content length distribution
+    (`独立版/examples_advanced.py:122-130`)."""
+    ln = F.length(F.col(text_col))
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.round(F.avg(ln), 6).alias("avg_len"),
+            F.min(ln).alias("min_len"),
+            F.max(ln).alias("max_len"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy(*group_cols)
+    )
+
+
+def ratio_agg(df: DataFrame, group_cols: list[str], predicate: Column,
+              out_name: str = "ratio") -> DataFrame:
+    """A6 — share of rows matching a predicate per group
+    (`独立版/examples_advanced.py:164-169`)."""
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.round(F.avg(F.when(predicate, 1.0).otherwise(0.0)), 6).alias(out_name))
+        .orderBy(*group_cols)
+    )
+
+
+def sessionize(df: DataFrame, user_col: str, ts_col: str, id_col: str,
+               gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization — batch form of the streaming session window
+    (SURVEY.md §2.9). New session when the gap to the previous event of the
+    same user exceeds ``gap_seconds``."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)) > gap_seconds),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def running_sum(df: DataFrame, part_cols: list[str], order_cols: list[str],
+                value_col: str, out_name: str = "running_sum") -> DataFrame:
+    """Analytic frame (rowsBetween) — beyond the reference; standard Spark."""
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_name, F.sum(F.col(value_col)).over(w))

