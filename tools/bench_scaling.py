@@ -1,7 +1,7 @@
 """Two-parallelism scaling evidence (BASELINE.md sandbox plan).
 
-Runs the SAME crawl job on the SAME input at local[N] and local[4N]
-(default 8 → 32 cores), in separate subprocesses (one JVM per master),
+Runs the SAME crawl job on the SAME input at local[8] and local[32]
+(8 → 32 cores = N → 4N), in separate subprocesses (one JVM per master),
 and reports:
 
 - URLs fetched+deduped/sec at each level
@@ -9,8 +9,18 @@ and reports:
 - whether the visit order and final seen set are identical at both levels
   (north rule: ordering is a pure function of data)
 
-Usage: python tools/bench_scaling.py [n_targets] [budget]
-Prints one JSON line; paste results into BASELINE.md.
+Two modes:
+- discovery mode (default): seeds = per-target entry urls, frontier expands
+  wave by wave. Exercises ordering/politeness; at sandbox sizes it is
+  latency-bound (per-wave fixed costs), so it under-reports scaling.
+- bulk mode (`bulk` argv): seeds = the full url set (backfill / re-crawl
+  configuration — the BASELINE metric's "10^10-URL frontier" drain).
+  Compute-dominated → the honest parallel-efficiency measurement.
+
+Usage:
+  python tools/bench_scaling.py [n_targets] [budget] [bulk]
+  (budget 0 = unbounded)
+Prints one JSON line; results recorded in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -23,39 +33,72 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = r"""
-import hashlib, json, os, sys, tempfile, time
+import hashlib, json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
+# tmpfs scratch: on one box the disk is shared across cores; shuffle/snapshot
+# IO must not masquerade as a scaling ceiling (cluster disks scale with nodes)
+if os.path.isdir("/dev/shm"):
+    os.makedirs("/dev/shm/wss_bench", exist_ok=True)
+    os.environ.setdefault("WSS_LOCAL_DIR", "/dev/shm/wss_bench/sparktmp")
+    tempfile.tempdir = "/dev/shm/wss_bench"
+# local mode = one JVM for everything: size the heap for the core count or
+# 32 concurrent tasks get 4x less memory each than 8 and spill/GC-thrash
+os.environ.setdefault("WSS_DRIVER_MEM", "48g")
+from pyspark.sql import functions as F
 from wss_spark.crawl.frontier import CrawlConfig, run_crawl, visit_order
 from wss_spark.session import get_spark
 from wss_spark.synth import build_pages_df, seed_list
 
-cores = int(sys.argv[1]); n_targets = int(sys.argv[2]); budget = int(sys.argv[3])
+cores = int(sys.argv[1]); n_targets = int(sys.argv[2])
+budget = int(sys.argv[3]); bulk = sys.argv[4] == "bulk"
 spark = get_spark(app_name=f"scale{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
-pages = build_pages_df(spark, n_targets, seed=42).persist(); pages.count()
+pages = build_pages_df(spark, n_targets, seed=42).persist(); n_pages = pages.count()
+seeds = pages.select("url") if bulk else seed_list(n_targets, seed=42)
 cfg = CrawlConfig(budget=(None if budget <= 0 else budget), n_buckets=64,
-                  m_bits=1 << 20, checkpoint_every=4, defer_logs=True,
+                  m_bits=1 << 20, checkpoint_every=10, defer_logs=True,
                   checkpoint_dir=tempfile.mkdtemp(prefix=f"wss_scale{{cores}}_"))
 t0 = time.time()
-res = run_crawl(spark, pages, seed_list(n_targets, seed=42), cfg)
+res = run_crawl(spark, pages, seeds, cfg)
+# materialize the full result (fetch log + seen) inside the timed window
+n_urls = res.fetch_log.count()
 wall = time.time() - t0
-order = visit_order(res.fetch_log)
-seen = sorted(r[0] for r in res.seen.select("canon_url").collect())
+if bulk:
+    # hashing 4M urls driver-side is its own bottleneck; hash distributed
+    order_sha = str(res.fetch_log.orderBy(
+        "wave", "priority", "seed_order", "stage", "page", "canon_url"
+    ).select(F.md5(F.concat_ws("|", "wave", "canon_url")).alias("h"))
+     .agg(F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)"))).first()[0])
+    seen_sha = str(res.seen.select(
+        F.sum(F.conv(F.substring(F.md5("canon_url"), 1, 15), 16, 10)
+              .cast("decimal(38,0)")).alias("s")).first()[0])
+else:
+    order = visit_order(res.fetch_log)
+    seen = sorted(r[0] for r in res.seen.select("canon_url").collect())
+    order_sha = hashlib.sha256("\n".join(order).encode()).hexdigest()
+    seen_sha = hashlib.sha256("\n".join(seen).encode()).hexdigest()
 print(json.dumps({{
-    "cores": cores, "wall_s": round(wall, 2), "n_urls": len(order),
-    "urls_per_sec": round(len(order) / wall, 2), "waves": res.waves,
-    "order_sha": hashlib.sha256("\n".join(order).encode()).hexdigest(),
-    "seen_sha": hashlib.sha256("\n".join(seen).encode()).hexdigest(),
+    "cores": cores, "wall_s": round(wall, 2), "n_urls": int(n_urls),
+    "n_pages": int(n_pages),
+    "urls_per_sec": round(n_urls / wall, 2), "waves": res.waves,
+    "order_sha": order_sha, "seen_sha": seen_sha,
 }}))
 spark.stop()
+shutil.rmtree("/dev/shm/wss_bench", ignore_errors=True)
 """
 
 
-def run_level(cores: int, n_targets: int, budget: int) -> dict:
+def run_level(cores: int, n_targets: int, budget: int, bulk: bool) -> dict:
     script = WORKER.format(repo=REPO)
+    # pin the N-core leg to N physical cores: an unpinned local[8] borrows
+    # all 32 cores' turbo/bandwidth during stalls and under-reports scaling —
+    # "8 cores" must mean what an 8-core executor node gets
+    prefix = ["taskset", "-c", f"0-{cores - 1}"] if cores < os.cpu_count() else []
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), str(n_targets), str(budget)],
+        prefix
+        + [sys.executable, "-c", script, str(cores), str(n_targets), str(budget),
+           "bulk" if bulk else "discovery"],
         capture_output=True, text=True, timeout=3600,
     )
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
@@ -67,12 +110,14 @@ def run_level(cores: int, n_targets: int, budget: int) -> dict:
 def main() -> None:
     n_targets = int(sys.argv[1]) if len(sys.argv) > 1 else 150
     budget = int(sys.argv[2]) if len(sys.argv) > 2 else 0  # 0 = unbounded
-    lo = run_level(8, n_targets, budget)
-    hi = run_level(32, n_targets, budget)
+    bulk = len(sys.argv) > 3 and sys.argv[3] == "bulk"
+    lo = run_level(8, n_targets, budget, bulk)
+    hi = run_level(32, n_targets, budget, bulk)
     eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4
     print(
         json.dumps(
             {
+                "mode": "bulk" if bulk else "discovery",
                 "n_targets": n_targets,
                 "budget": budget,
                 "local8": lo,

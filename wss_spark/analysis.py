@@ -1,0 +1,99 @@
+"""The reference's flagship analysis pipeline as a library API.
+
+``deep_analyze`` mirrors ``WeiboDeepAnalyzer.analyze()``
+(`独立版/WeiboDeepAnalyzer.py:693-736`): content → comments → reposts →
+stats → export, but distributed — the per-page fetch loop becomes one crawl
+(or a direct parse of a pages table) and every per-list Python aggregation
+becomes a DataFrame plan. ``enrich_comments_with_users`` is the J1
+commenter-profile lookup join (`独立版/WeiboCommentScrapy.py:102-120`): the
+reference fetches every commenter's profile page N+1-style; here the user
+dim extracted from /info pages joins broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wss_spark import export as export_mod
+from wss_spark.extraction.parse_page import (
+    enrich_weibo,
+    extract_comments,
+    extract_reposts,
+    extract_users,
+    parse_pages,
+)
+
+
+def enrich_comments_with_users(comments: DataFrame, users: DataFrame) -> DataFrame:
+    """J1: per-commenter profile enrichment as a broadcast join — replaces
+    the reference's per-comment profile fetch (N+1 → 1 join). Output mirrors
+    the legacy comment spider's columns (FIXTURES.md §3.2)."""
+    dim = users.select(
+        F.col("uid"),
+        F.col("nickname"),
+        F.col("gender").alias("sex"),
+        F.col("location"),
+        F.col("weibo_num"),
+        F.col("following_num"),
+        F.col("followers_num"),
+    )
+    return (
+        comments.join(F.broadcast(dim), comments["commenter_id"] == dim["uid"], "left")
+        .select(
+            "root_wid",
+            "page",
+            "block_index",
+            "comment_id",
+            "commenter_id",
+            "commenter_name",
+            "nickname",
+            "sex",
+            "location",
+            "weibo_num",
+            "following_num",
+            "followers_num",
+            "content",
+            F.col("like_count").alias("praised_num"),
+            "publish_time",
+        )
+    )
+
+
+def deep_analyze(pages: DataFrame, wid: str | None = None,
+                 export_dir: str | None = None) -> dict:
+    """Full deep-analysis over a pages table (optionally for one ``wid``).
+
+    Returns {"weibo", "comments", "reposts", "users", "comments_enriched",
+    "stats"}; when ``export_dir`` is set, also writes the reference-shaped
+    golden outputs (CSVs + complete.json) there.
+    """
+    parsed = parse_pages(pages)
+    weibo = enrich_weibo(parsed)
+    comments = extract_comments(parsed)
+    reposts = extract_reposts(parsed)
+    users = extract_users(parsed)
+    if wid is not None:
+        weibo = weibo.filter(F.col("wid") == wid)
+        comments = comments.filter(F.col("root_wid") == wid)
+        reposts = reposts.filter(F.col("root_wid") == wid)
+
+    result = {
+        "weibo": weibo,
+        "comments": comments,
+        "reposts": reposts,
+        "users": users,
+        "comments_enriched": enrich_comments_with_users(comments, users),
+        "stats": None,
+    }
+    if export_dir is not None:
+        prefix = wid or "all"
+        export_mod.export_weibo_csv(weibo, f"{export_dir}/{prefix}_weibo.csv")
+        export_mod.export_comments_csv(comments, f"{export_dir}/{prefix}_comments.csv")
+        export_mod.export_reposts_csv(reposts, f"{export_dir}/{prefix}_reposts.csv")
+        result["stats"] = export_mod.export_complete_json(
+            weibo, comments, reposts, f"{export_dir}/{prefix}_complete.json"
+        )["stats"]
+    else:
+        result["stats"] = export_mod.compute_stats(comments, reposts)
+    return result

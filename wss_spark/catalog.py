@@ -742,6 +742,110 @@ def f_regex_extract(spark, sf):
     )
 
 
+_F1_SQL = r"""
+    WITH base AS (
+      SELECT event_id,
+             event_id % 6 AS k,
+             CAST(event_id % 59 + 1 AS INTEGER) AS mins,
+             CAST(event_id % 12 + 1 AS INTEGER) AS hrs,
+             CAST(event_id % 24 AS INTEGER) AS hh,
+             CAST(event_id % 60 AS INTEGER) AS mi,
+             CAST(event_id % 12 + 1 AS INTEGER) AS mo,
+             CAST(event_id % 28 + 1 AS INTEGER) AS dd
+      FROM events),
+    raws AS (
+      SELECT event_id,
+             (CASE k
+                WHEN 0 THEN '刚刚'
+                WHEN 1 THEN mins || '分钟前'
+                WHEN 2 THEN hrs || '小时前'
+                WHEN 3 THEN printf('今天 %02d:%02d', hh, mi)
+                WHEN 4 THEN printf('%02d月%02d日 %02d:%02d', mo, dd, hh, mi)
+                ELSE printf('2024-%02d-%02d %02d:%02d:%02d', mo, dd, hh, mi, 7)
+              END) || (CASE WHEN event_id % 3 = 0 THEN ' 来自iPhone 15' ELSE '' END)
+               AS raw,
+             k, mins, hrs, hh, mi, mo, dd
+      FROM base),
+    anchored AS (SELECT *, TIMESTAMP '2025-10-29 12:00:00' AS anchor FROM raws)
+    SELECT event_id, raw,
+           CASE k
+             WHEN 0 THEN strftime(anchor, '%Y-%m-%d %H:%M')
+             WHEN 1 THEN strftime(anchor - to_minutes(mins), '%Y-%m-%d %H:%M')
+             WHEN 2 THEN strftime(anchor - to_hours(hrs), '%Y-%m-%d %H:%M')
+             WHEN 3 THEN strftime(anchor, '%Y-%m-%d') || ' ' || printf('%02d:%02d', hh, mi)
+             WHEN 4 THEN strftime(anchor, '%Y') || printf('-%02d-%02d ', mo, dd)
+                         || printf('%02d:%02d', hh, mi)
+             ELSE printf('2024-%02d-%02d %02d:%02d', mo, dd, hh, mi)
+           END AS norm_time
+    FROM anchored
+"""
+
+
+@_q("f1_time_parse", _F1_SQL)
+def f1_time_parse(spark, sf):
+    """F1 relative-time normalizer (`独立版/WeiboDeepAnalyzer.py:128-161`):
+    deterministic raw strings covering every branch (刚刚/分钟/小时/今天/
+    月日/absolute, with and without 来自-source suffixes), parsed by the
+    JVM-side when-chain; the oracle recomputes each branch with date math."""
+    from wss_spark.extraction.kernel import ANCHOR
+    from wss_spark.functions.times import parse_weibo_time
+
+    e = _t(spark, sf, "events").select(
+        "event_id",
+        (F.col("event_id") % 6).alias("k"),
+        (F.col("event_id") % 59 + 1).cast("int").alias("mins"),
+        (F.col("event_id") % 12 + 1).cast("int").alias("hrs"),
+        (F.col("event_id") % 24).cast("int").alias("hh"),
+        (F.col("event_id") % 60).cast("int").alias("mi"),
+        (F.col("event_id") % 12 + 1).cast("int").alias("mo"),
+        (F.col("event_id") % 28 + 1).cast("int").alias("dd"),
+    )
+    raw = F.concat(
+        F.when(F.col("k") == 0, F.lit("刚刚"))
+        .when(F.col("k") == 1, F.concat(F.col("mins").cast("string"), F.lit("分钟前")))
+        .when(F.col("k") == 2, F.concat(F.col("hrs").cast("string"), F.lit("小时前")))
+        .when(F.col("k") == 3, F.format_string("今天 %02d:%02d", "hh", "mi"))
+        .when(F.col("k") == 4, F.format_string("%02d月%02d日 %02d:%02d", "mo", "dd", "hh", "mi"))
+        .otherwise(F.format_string("2024-%02d-%02d %02d:%02d:%02d", "mo", "dd", "hh", "mi", F.lit(7))),
+        F.when(F.col("event_id") % 3 == 0, F.lit(" 来自iPhone 15")).otherwise(F.lit("")),
+    )
+    return e.select(
+        "event_id",
+        raw.alias("raw"),
+        parse_weibo_time(raw, ANCHOR).alias("norm_time"),
+    )
+
+
+@_q("f11_base62_roundtrip", None)  # pandas-UDF codec; rows-only check
+def f11_base62_roundtrip(spark, sf):
+    """F11 id↔mid base62 codec (`独立版/WeiboSuperCommentScrapy.py:40-112`):
+    round-trips every orderkey through the vectorized codec; the ``ok``
+    column must be uniformly true (unit tests pin spec values)."""
+    from wss_spark.functions.base62 import id2mid, mid2id
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("string").alias("wid_id")
+    )
+    return (
+        o.withColumn("mid", id2mid("wid_id"))
+        .withColumn("back", mid2id("mid"))
+        .withColumn("ok", F.col("back") == F.col("wid_id"))
+    )
+
+
+@_q("flagship_top_commenters", None)
+def flagship_top_commenters(spark, sf):
+    """The reference's flagship analysis (`独立版/WeiboDeepAnalyzer.py:584-588`):
+    crawl → extract → top-10 commenters by comment count."""
+    from wss_spark.extraction.parse_page import extract_comments, parse_pages
+    from wss_spark.operators.analytics import count_top_names
+    from wss_spark.synth import build_pages_df
+
+    pages = build_pages_df(spark, 12, seed=42)
+    comments = extract_comments(parse_pages(pages))
+    return count_top_names(comments, "commenter_name", 10)
+
+
 # ===========================================================================
 # training-data pipeline: dedup / similarity / text analysis
 # ===========================================================================

@@ -168,3 +168,19 @@ def seeds_to_frontier(spark, seed_urls: list[str], priority: float = 0.0) -> Dat
             F.lit(priority).alias("priority"),
         )
     )
+
+
+def seeds_frontier_from_df(seeds: DataFrame, priority: float = 0.0) -> DataFrame:
+    """Distributed seeding for bulk frontiers (backfill / re-crawl mode):
+    a DataFrame with a ``url`` column becomes wave-0, never routed through
+    the driver. All seeds share seed_order 0 — ordering falls through to the
+    canon_url tiebreak, still a pure function of data."""
+    return _finish(
+        seeds.select(
+            "url",
+            F.lit(0).cast("long").alias("seed_order"),
+            F.lit(0).alias("stage"),
+            F.lit(1).alias("page"),
+            F.lit(priority).alias("priority"),
+        )
+    )

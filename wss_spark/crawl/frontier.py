@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wss_spark.crawl import bloom, checkpoint
-from wss_spark.crawl.discover import discover, seeds_to_frontier
+from wss_spark.crawl.discover import discover, seeds_frontier_from_df, seeds_to_frontier
 from wss_spark.crawl.politeness import ORDER_COLS, robots_gate, split_by_budget
 from wss_spark.extraction.kernel import ANCHOR
 from wss_spark.extraction.parse_page import parse_pages
@@ -83,8 +83,13 @@ _METRICS_SCHEMA = (
 
 def _dedup_in_wave(frontier: DataFrame) -> DataFrame:
     """Keep-first per canon_url within a wave (W2 keep-first semantics,
-    `独立版/(using)WeiboUserScrapy.py:447-456`): best ordering keys win."""
-    w = Window.partitionBy("canon_url").orderBy(*[F.col(c).asc() for c in ORDER_COLS])
+    `独立版/(using)WeiboUserScrapy.py:447-456`): best ordering keys win.
+    ``url`` is the final tiebreak — two distinct urls can share a canon form
+    (/comment/W vs /comment/W?page=1) with identical ordering keys, and the
+    fetched representative must not depend on partition layout."""
+    w = Window.partitionBy("canon_url").orderBy(
+        *[F.col(c).asc() for c in ORDER_COLS], F.col("url").asc()
+    )
     return (
         frontier.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
@@ -95,7 +100,7 @@ def _dedup_in_wave(frontier: DataFrame) -> DataFrame:
 def run_crawl(
     spark: SparkSession,
     pages: DataFrame,
-    seed_urls: list[str],
+    seed_urls: list[str] | DataFrame,
     config: CrawlConfig | None = None,
     robots: DataFrame | None = None,
     resume: bool = False,
@@ -114,7 +119,10 @@ def run_crawl(
         wave = snap.wave + 1
         metrics: list[dict] = []
     else:
-        frontier = seeds_to_frontier(spark, seed_urls)
+        if isinstance(seed_urls, DataFrame):
+            frontier = seeds_frontier_from_df(seed_urls)
+        else:
+            frontier = seeds_to_frontier(spark, seed_urls)
         seen = spark.createDataFrame([], SEEN_URLS)
         bloom_state = bloom.empty_state(spark, cfg.n_buckets)
         wave = 0

@@ -85,32 +85,37 @@ def robots_gate(frontier: DataFrame, robots: DataFrame) -> DataFrame:
 
     ``robots(host, path_prefix, allowed, crawl_delay)``: longest matching
     prefix per (host, url-path) wins; hosts with no rule default to allowed
-    (standard robots semantics). The rules table is tiny (one row per
-    host×prefix) → broadcast join; the longest-prefix resolution is a
-    groupBy over the few matched rows, not the frontier.
+    (standard robots semantics).
+
+    Shuffle-free by construction: the tiny rules table is pre-aggregated to
+    one array of (prefix, allowed) per host, sorted longest-prefix-first,
+    broadcast-joined on host, and resolved per row with array higher-order
+    functions — the 10^10-row frontier is never re-shuffled for gating.
     """
+    rules_by_host = robots.groupBy("host").agg(
+        F.reverse(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.length("path_prefix").alias("plen"),
+                        F.col("path_prefix").alias("prefix"),
+                        F.col("allowed").alias("allowed"),
+                    )
+                )
+            )
+        ).alias("rules")  # sorted by prefix length desc → first match wins
+    )
     path = F.regexp_replace(F.col("canon_url"), r"^[a-z][a-z0-9+.-]*://[^/]+", "")
-    matches = (
-        frontier.withColumn("_path", path)
-        .join(F.broadcast(robots), on="host", how="left")
-        .withColumn(
-            "_hit",
-            F.col("path_prefix").isNotNull()
-            & F.col("_path").startswith(F.col("path_prefix")),
-        )
+    gated = frontier.withColumn("_path", path).join(
+        F.broadcast(rules_by_host), on="host", how="left"
     )
-    w = Window.partitionBy("canon_url").orderBy(
-        F.col("_hit").desc(), F.length("path_prefix").desc()
+    first_match = F.try_element_at(
+        F.filter(
+            F.col("rules"), lambda r: F.col("_path").startswith(r["prefix"])
+        ),
+        F.lit(1),
     )
-    resolved = (
-        matches.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .withColumn(
-            "allowed_final",
-            F.when(F.col("_hit"), F.col("allowed")).otherwise(F.lit(True)),
-        )
+    allowed = F.when(F.col("rules").isNull(), F.lit(True)).otherwise(
+        F.coalesce(first_match["allowed"], F.lit(True))
     )
-    return (
-        resolved.filter(F.col("allowed_final"))
-        .drop("_path", "_hit", "_rk", "path_prefix", "allowed", "allowed_final", "crawl_delay")
-    )
+    return gated.filter(allowed).drop("_path", "rules")

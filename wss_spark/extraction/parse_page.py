@@ -64,94 +64,107 @@ PARSED = StructType(
 )
 
 _COLS = [f.name for f in PARSED.fields]
+_IDX = {name: i for i, name in enumerate(_COLS)}
+_I_URL, _I_KIND, _I_ROOT, _I_PAGE = (_IDX["url"], _IDX["kind"], _IDX["root_id"], _IDX["page"])
 
 
-def _rows_for_page(url: str, html, now: datetime) -> list[dict]:
+def _rows_for_page(url: str, html, now: datetime) -> list[list]:
+    """One fetched page → positional PARSED rows (lists in _COLS order —
+    pandas builds a frame from position-aligned lists ~3x faster than from
+    per-row dicts, which matters at millions of pages per stage)."""
     root = kernel.parse_html(html)
     kind, rid, page = kernel.classify_url(url)
-    base = dict.fromkeys(_COLS)
-    base.update(url=url, root_id=rid, page=page)
-    out: list[dict] = []
+    ncols = len(_COLS)
+
+    def mk(kind_val: str, **kw) -> list:
+        row = [None] * ncols
+        row[_I_URL] = url
+        row[_I_KIND] = kind_val
+        row[_I_ROOT] = rid
+        row[_I_PAGE] = page
+        for k, v in kw.items():
+            row[_IDX[k]] = v
+        return row
+
+    out: list[list] = []
     text_parts: list[str] = []
 
     if kind == "comment":
         w = kernel.extract_weibo_from_page(root, now, rid or "")
         if w is not None and page == 1:
-            row = dict(base)
-            row.update(
-                kind="weibo",
-                entity_id=w["weibo_id"],
-                user_id=w["user_id"],
-                user_name=w["user_name"],
-                content=w["content"],
-                like_count=w["like_count"],
-                publish_time=w["publish_time"],
-                publish_source=w["publish_source"],
-                repost_count=w["repost_count"],
-                comment_count=w["comment_count"],
-                total_comment_pages=w["total_comment_pages"],
-                fulltext_href=w["fulltext_href"],
-                album_href=w["album_href"],
-                block_index=0,
+            out.append(
+                mk(
+                    "weibo",
+                    entity_id=w["weibo_id"],
+                    user_id=w["user_id"],
+                    user_name=w["user_name"],
+                    content=w["content"],
+                    like_count=w["like_count"],
+                    publish_time=w["publish_time"],
+                    publish_source=w["publish_source"],
+                    repost_count=w["repost_count"],
+                    comment_count=w["comment_count"],
+                    total_comment_pages=w["total_comment_pages"],
+                    fulltext_href=w["fulltext_href"],
+                    album_href=w["album_href"],
+                    block_index=0,
+                )
             )
-            out.append(row)
             if w["content"]:
                 text_parts.append(w["content"])
         comments = kernel.extract_comments_from_page(root, now)
         for c in comments:
-            row = dict(base)
-            row.update(
-                kind="comment",
-                entity_id=c["comment_id"],
-                user_id=c["commenter_id"],
-                user_name=c["commenter_name"],
-                content=c["content"],
-                like_count=c["like_count"],
-                publish_time=c["publish_time"],
-                is_hot=c["is_hot"],
-                block_index=c["block_index"],
+            out.append(
+                mk(
+                    "comment",
+                    entity_id=c["comment_id"],
+                    user_id=c["commenter_id"],
+                    user_name=c["commenter_name"],
+                    content=c["content"],
+                    like_count=c["like_count"],
+                    publish_time=c["publish_time"],
+                    is_hot=c["is_hot"],
+                    block_index=c["block_index"],
+                )
             )
-            out.append(row)
             if not c["is_hot"]:
                 text_parts.append(c["content"])
         n_blocks = len(comments)
     elif kind == "repost":
         reposts = kernel.extract_reposts_from_page(root, now)
         for r in reposts:
-            row = dict(base)
-            row.update(
-                kind="repost",
-                user_id=r["user_id"],
-                user_name=r["user_name"],
-                content=r["content"],
-                like_count=r["like_count"],
-                publish_time=r["publish_time"],
-                block_index=r["block_index"],
+            out.append(
+                mk(
+                    "repost",
+                    user_id=r["user_id"],
+                    user_name=r["user_name"],
+                    content=r["content"],
+                    like_count=r["like_count"],
+                    publish_time=r["publish_time"],
+                    block_index=r["block_index"],
+                )
             )
-            out.append(row)
             text_parts.append(r["content"])
         n_blocks = len(reposts)
     elif kind == "album":
         imgs = kernel.extract_album_images(root)
-        row = dict(base)
-        row.update(kind="album", images=imgs)
-        out.append(row)
+        out.append(mk("album", images=imgs))
         n_blocks = len(imgs)
     elif kind == "info":
         u = kernel.extract_user_from_page(root, rid or "")
-        row = dict(base)
-        row.update(
-            kind="user",
-            entity_id=u["uid"],
-            user_id=u["uid"],
-            user_name=u["nickname"],
-            gender=u["gender"],
-            location=u["location"],
-            followers_num=u["followers_num"],
-            weibo_num=u["weibo_num"],
-            following_num=u["following_num"],
+        out.append(
+            mk(
+                "user",
+                entity_id=u["uid"],
+                user_id=u["uid"],
+                user_name=u["nickname"],
+                gender=u["gender"],
+                location=u["location"],
+                followers_num=u["followers_num"],
+                weibo_num=u["weibo_num"],
+                following_num=u["following_num"],
+            )
         )
-        out.append(row)
         n_blocks = 1
         body = root.first("body")
         t = kernel.clean_text(body.string() if body is not None else "")
@@ -162,9 +175,7 @@ def _rows_for_page(url: str, html, now: datetime) -> list[dict]:
         text_parts = [t] if t else []
         n_blocks = 0
 
-    page_row = dict(base)
-    page_row.update(kind="page", n_blocks=n_blocks, text="\n".join(text_parts))
-    out.append(page_row)
+    out.append(mk("page", n_blocks=n_blocks, text="\n".join(text_parts)))
     return out
 
 
@@ -174,10 +185,19 @@ def parse_pages(pages: DataFrame, now: datetime = ANCHOR) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: list[dict] = []
+            rows: list[list] = []
             for url, html in zip(pdf["url"], pdf["html"]):
                 rows.extend(_rows_for_page(url, html, now))
-            yield pd.DataFrame(rows, columns=_COLS)
+            # column-wise assembly: zip(*rows) transposes position-aligned
+            # lists straight into pandas columns (no per-row dict resolution)
+            if rows:
+                cols_data = list(zip(*rows))
+                yield pd.DataFrame(
+                    {name: cols_data[i] for i, name in enumerate(_COLS)},
+                    columns=_COLS,
+                )
+            else:
+                yield pd.DataFrame(columns=_COLS)
 
     return cols.mapInPandas(run, schema=PARSED)
 
@@ -242,6 +262,9 @@ def extract_weibo(parsed: DataFrame) -> DataFrame:
         "total_comment_pages",
         "fulltext_href",
         "album_href",
+        # the post's canonical link (`独立版/WeiboDeepAnalyzer.py:299`): the
+        # main page url sans query
+        F.regexp_replace(F.col("url"), r"\?.*$", "").alias("weibo_url"),
     )
 
 
@@ -260,6 +283,42 @@ def extract_users(parsed: DataFrame) -> DataFrame:
 def extract_albums(parsed: DataFrame) -> DataFrame:
     return parsed.filter(F.col("kind") == "album").select(
         F.col("root_id").alias("wid"), "images"
+    )
+
+
+def enrich_weibo(parsed: DataFrame) -> DataFrame:
+    """J3 long-text expansion + J4 album expansion as joins.
+
+    The reference re-fetches the ``ckAll=1`` page when a post is truncated and
+    the picAll page when an album link exists
+    (`独立版/(using)WeiboUserScrapy.py:176-191,351-369`); here both are plain
+    equi-joins against the already-parsed pages — ``coalesce(full, truncated)``
+    for content, ``collect``-free image arrays for albums.
+    """
+    from pyspark.sql import Window
+
+    # one weibo row per wid: comment pages ?page=1 / ?ckAll=1 re-render the M
+    # block, so prefer the main page's row (shortest url — no query string)
+    w = Window.partitionBy("root_id").orderBy(F.length("url"), "url")
+    weibo = extract_weibo(
+        parsed.filter(F.col("kind") == "weibo")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    fulls = (
+        parsed.filter((F.col("kind") == "page") & F.col("url").contains("ckAll=1"))
+        .select(F.col("root_id").alias("wid"), F.col("text").alias("full_text"))
+    )
+    albums = extract_albums(parsed)
+    return (
+        weibo.join(fulls, "wid", "left")
+        .join(albums, "wid", "left")
+        .withColumn("content_full", F.coalesce("full_text", "content"))
+        .withColumn(
+            "image_count", F.coalesce(F.size("images"), F.lit(0))
+        )
+        .drop("full_text")
     )
 
 

@@ -142,6 +142,37 @@ def size_aware_repartition(media: DataFrame, target_batch_mb: int = 64) -> DataF
     return media.repartition(parts, "media_id")
 
 
+def binary_file_sink(media: DataFrame, out_dir: str,
+                     already: DataFrame | None = None) -> int:
+    """S9 binary/image sink (`独立版/(using)WeiboUserScrapy.py:555-591`):
+    content-addressed files (md5-named, like the reference's md5 image names,
+    `独立版/WeiboSuperTopicActiveUserSpider.py:110`), skip-if-exists via
+    ``left_anti`` against the already-written set plus an executor-side
+    existence check. Writes happen in ``foreachPartition`` — no payload ever
+    passes through the driver."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    todo = media.select(
+        F.md5(F.col("payload")).alias("name"), F.col("payload")
+    ).dropDuplicates(["name"])
+    if already is not None:
+        todo = todo.join(already.select("name"), on="name", how="left_anti")
+
+    def write_part(rows):
+        for row in rows:
+            path = os.path.join(out_dir, row["name"] + ".bin")
+            if not os.path.exists(path):  # reference's skip-if-exists
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(bytes(row["payload"]))
+                os.replace(tmp, path)
+
+    count = todo.count()
+    todo.foreachPartition(write_part)
+    return count
+
+
 def media_dedup(media: DataFrame) -> DataFrame:
     """Exact content dedup on payload hash — metadata-only output."""
     return (

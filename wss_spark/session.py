@@ -47,6 +47,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("WSS_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/scratch on tmpfs when requested: single-box benchmarks are
+    # otherwise bottlenecked on one shared disk, which hides CPU scaling
+    # (a real cluster scales disks with nodes)
+    local_dir = os.environ.get("WSS_LOCAL_DIR")
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
