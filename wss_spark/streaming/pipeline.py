@@ -66,6 +66,76 @@ def windowed_page_counts(pages_stream: DataFrame, window: str = "1 hour",
     )
 
 
+def host_budget_tracker(pages_stream: DataFrame, budget_per_batch: int = 100,
+                        timeout_ms: int = 60000) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-host running fetch counter with budget flagging — the streaming
+    twin of the politeness budget (SURVEY.md §2.9 T2 / §2.10 stateful UDF).
+
+    State per host: (total_pages, batches_seen). Emits one row per host per
+    micro-batch: (host, batch_pages, total_pages, over_budget).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("host", StringType(), False),
+            StructField("batch_pages", LongType(), False),
+            StructField("total_pages", LongType(), False),
+            StructField("over_budget", BooleanType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("total", LongType(), False),
+            StructField("batches", IntegerType(), False),
+        ]
+    )
+
+    def track(key, pdfs, state: GroupState):
+        host = key[0]
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if state.exists:
+            total, batches = state.get
+        else:
+            total, batches = 0, 0
+        total += n
+        batches += 1
+        state.update((total, batches))
+        yield pd.DataFrame(
+            {
+                "host": [host],
+                "batch_pages": [n],
+                "total_pages": [total],
+                "over_budget": [n > budget_per_batch],
+            }
+        )
+
+    host = F.regexp_extract(F.col("url"), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    return (
+        pages_stream.withColumn("host", host)
+        .groupBy("host")
+        .applyInPandasWithState(
+            track,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def foreach_batch_dedup_append(target_dir: str, key_col: str = "url"):
     """Returns a foreachBatch(fn) that appends each micro-batch to
     ``target_dir`` parquet, dropping keys already present — idempotent under
