@@ -1116,6 +1116,24 @@ def extract_entities_comments(spark, sf):
     return extract_comments(parse_pages(pages))
 
 
+@_q("api_topic_cards", None)
+def api_topic_cards(spark, sf):
+    """S3/P4/F2/F15: stored mobile-API JSON payloads → topic rows via
+    from_json + card-type filtering (`独立版/WeiboCnTopicSpiderWithoutCookie.py`)."""
+    from wss_spark.api_ingest import parse_topic_payloads, synth_topic_payloads
+
+    return parse_topic_payloads(synth_topic_payloads(spark, 20, seed=42))
+
+
+@_q("api_user_actions", None)
+def api_user_actions(spark, sf):
+    """P6/F8: commented/praised/reposted classification + retweet assembly
+    (`独立版/CommentedWeiboSpider.py:114-134`)."""
+    from wss_spark.api_ingest import classify_user_actions, synth_topic_payloads
+
+    return classify_user_actions(synth_topic_payloads(spark, 15, seed=42))
+
+
 @_q("media_features", None)
 def media_features(spark, sf):
     """Multimodal plumbing: opaque binary payloads → deterministic features

@@ -69,8 +69,19 @@ def parse_weibo_time(raw: Column | str, now: datetime | Column) -> Column:
 
 def parse_api_time(raw: Column | str) -> Column:
     """F2: '%a %b %d %H:%M:%S %z %Y' → '%Y-%m-%d %H:%M:%S'
-    (`独立版/CommentedWeiboSpider.py:35-38`)."""
+    (`独立版/CommentedWeiboSpider.py:35-38`).
+
+    The reference keeps the payload's own wall time (+0800, weibo's zone) —
+    ``strptime`` stays offset-aware and ``strftime`` re-renders the same wall
+    clock. Spark's to_timestamp normalizes to the session zone, so shift back
+    to GMT+8 before formatting for byte parity."""
     c = F.col(raw) if isinstance(raw, str) else raw
+    # Spark 3+'s DateTimeFormatter rejects day-of-week ('EEE') in parse
+    # patterns — the weekday is redundant, so strip it first
+    no_dow = F.regexp_replace(c, r"^[A-Za-z]{3}\s+", "")
     return F.date_format(
-        F.to_timestamp(c, "EEE MMM dd HH:mm:ss Z yyyy"), "yyyy-MM-dd HH:mm:ss"
+        F.from_utc_timestamp(
+            F.to_timestamp(no_dow, "MMM dd HH:mm:ss Z yyyy"), "GMT+8"
+        ),
+        "yyyy-MM-dd HH:mm:ss",
     )
