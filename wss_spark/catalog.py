@@ -1116,6 +1116,17 @@ def extract_entities_comments(spark, sf):
     return extract_comments(parse_pages(pages))
 
 
+@_q("timeline_extract", None)
+def timeline_extract(spark, sf):
+    """User-timeline family (`(using)WeiboUserScrapy.py` flagship): profile
+    pages → typed timeline rows with P3 origin flag, F8 retweet assembly,
+    F4 footer triples."""
+    from wss_spark.extraction.parse_page import extract_timeline, parse_pages
+    from wss_spark.synth import build_timeline_pages_df
+
+    return extract_timeline(parse_pages(build_timeline_pages_df(spark, 10, seed=42)))
+
+
 @_q("api_topic_cards", None)
 def api_topic_cards(spark, sf):
     """S3/P4/F2/F15: stored mobile-API JSON payloads → topic rows via

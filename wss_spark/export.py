@@ -89,6 +89,42 @@ def export_weibo_csv(weibo: DataFrame, path: str) -> int:
     return len(rows)
 
 
+TIMELINE_HEADERS = [
+    "id", "微博链接", "微博正文", "原始图片url", "是否原创", "发布时间",
+    "发布工具", "点赞数", "转发数", "评论数",
+]
+
+
+def export_timeline_csv(timeline: DataFrame, path: str) -> int:
+    """User-timeline CSV (`独立版/(using)WeiboUserScrapy.py:461-475` shape):
+    image urls space-joined (F13), '无' placeholder for no-image rows (P8),
+    newest-first is the reference's flush order but the deterministic export
+    key here is (uid, page, block_index)."""
+    rows = (
+        timeline.orderBy("uid", "page", "block_index")
+        .select(
+            "wid",
+            "weibo_link",
+            "content",
+            F.when(F.size("img_urls") == 0, F.lit("无"))
+            .otherwise(F.array_join("img_urls", " "))
+            .alias("img_urls"),
+            "is_origin",
+            "publish_time",
+            F.when(
+                F.col("publish_tool").isNull() | (F.col("publish_tool") == ""),
+                F.lit("无"),
+            ).otherwise(F.col("publish_tool")).alias("publish_tool"),
+            "like_num",
+            "forward_num",
+            "comment_num",
+        )
+        .collect()
+    )
+    _write_csv(path, TIMELINE_HEADERS, [list(r) for r in rows])
+    return len(rows)
+
+
 def compute_stats(comments: DataFrame, reposts: DataFrame, top_k: int = 10) -> dict:
     """The deep-analyzer stats block (`独立版/WeiboDeepAnalyzer.py:548-600`):
     totals, averages (rendered '%.1f'), Counter-style top-N. All aggregation

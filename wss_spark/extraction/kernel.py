@@ -420,6 +420,128 @@ def extract_weibo_from_page(root: Node, now: datetime, wid: str) -> dict | None:
     }
 
 
+_NUMS = re.compile(r"\d+")
+
+
+def footer_triple(text: str) -> tuple[int, int, int]:
+    """F4 — footer counter triple: cut at the LAST ``赞`` then take the first
+    three digit runs as (like, forward, comment)
+    (`独立版/(using)WeiboUserScrapy.py:325-349` semantics)."""
+    pos = text.rfind("赞")
+    if pos < 0:
+        return 0, 0, 0
+    nums = _NUMS.findall(text[pos:])
+    like = int(nums[0]) if len(nums) > 0 else 0
+    fwd = int(nums[1]) if len(nums) > 1 else 0
+    cmt = int(nums[2]) if len(nums) > 2 else 0
+    return like, fwd, cmt
+
+
+_COUNT_TOKENS = re.compile(r"(?:赞|转发|评论)\[\d+\]")
+
+
+def extract_timeline_from_page(root: Node, now: datetime) -> list[dict]:
+    """User-timeline blocks ``div.c[id^=M_]`` → rows (the flagship
+    `(using)WeiboUserScrapy.py` parser, FIXTURES.md §3.5):
+
+    - P3 is_origin: a block is an original post iff it has ≤ 3 ``span.cmt``
+      elements (`独立版/(using)WeiboUserScrapy.py:231-237`)
+    - F8 retweet assembly: ``reason\\n原始用户: name\\n转发内容: content``
+      (`:224-225`); deleted retweets render ``转发微博已被删除`` (`:206-209`)
+    - F4 footer triple from the last div's text (`:325-349`)
+    - F9 image links: thumb/wap → large; album links reported as href (J4)
+    """
+    rows: list[dict] = []
+    idx = 0
+    for block in root.iter():
+        if block.tag != "div" or block.attrs.get("class") != "c":
+            continue
+        wid = block.attrs.get("id", "")
+        if not wid.startswith("M_"):
+            continue
+        wid = wid[2:]
+        cmts = block.find_all("span", "cmt")
+        is_origin = len(cmts) <= 3
+
+        ctt = block.first("span", "ctt")
+        ctt_text = clean_text(ctt.string()) if ctt is not None else ""
+        if ctt_text.startswith(":"):
+            ctt_text = ctt_text[1:].strip()
+
+        publish_time = ""
+        publish_tool = ""
+        ct = block.first("span", "ct")
+        ct_raw = ""
+        if ct is not None:
+            own = ct.own_text()
+            if own:
+                ct_raw = own[0]
+                publish_time = parse_time(ct_raw, now)
+                if "来自" in ct_raw:
+                    publish_tool = ct_raw.split("来自")[1].strip()
+
+        if is_origin:
+            content = ctt_text
+        else:
+            deleted = "转发微博已被删除" in block.string()
+            if deleted:
+                content = "转发微博已被删除"
+            else:
+                orig_user = ""
+                for c in cmts:
+                    if "转发了" in c.string():
+                        a = c.first("a")
+                        if a is not None and a.own_text():
+                            orig_user = a.own_text()[0]
+                        break
+                # reason: text of the div holding the 转发理由 marker, minus
+                # the marker, count tokens, and the time/source tail
+                reason = ""
+                for d in block.find_all("div", direct=True):
+                    s = d.string()
+                    if "转发理由" in s:
+                        reason = s.split("转发理由:", 1)[-1]
+                        if ct_raw and ct_raw in reason:
+                            reason = reason[: reason.rfind(ct_raw)]
+                        reason = clean_text(_COUNT_TOKENS.sub("", reason))
+                        break
+                content = f"{reason}\n原始用户: {orig_user}\n转发内容: {ctt_text}"
+
+        like, fwd, cmt_n = 0, 0, 0
+        divs = block.find_all("div", direct=True)
+        if divs:
+            like, fwd, cmt_n = footer_triple(divs[-1].string())
+
+        images: list[str] = []
+        album_href = None
+        for img in block.find_all("img"):
+            src = img.attrs.get("src", "")
+            if "sinaimg" in src:
+                images.append(src.replace("/thumb180/", "/large/").replace("/wap180/", "/large/"))
+        for a in block.find_all("a"):
+            if "/mblog/picAll/" in a.attrs.get("href", ""):
+                album_href = a.attrs.get("href")
+                break
+
+        rows.append(
+            {
+                "block_index": idx,
+                "wid": wid,
+                "is_origin": is_origin,
+                "content": content,
+                "publish_time": publish_time,
+                "publish_tool": publish_tool,
+                "like_count": like,
+                "forward_count": fwd,
+                "comment_count": cmt_n,
+                "images": images,
+                "album_href": album_href,
+            }
+        )
+        idx += 1
+    return rows
+
+
 def extract_album_images(root: Node) -> list[str]:
     """picAll page → large-size image urls
     (`独立版/WeiboDeepAnalyzer.py:233-245`)."""
@@ -499,6 +621,7 @@ _URL_COMMENT = re.compile(r"^https?://[^/]+/comment/([^/?#]+)(?:\?page=(\d+))?")
 _URL_REPOST = re.compile(r"^https?://[^/]+/repost/([^/?#]+)(?:\?page=(\d+))?")
 _URL_ALBUM = re.compile(r"^https?://[^/]+/mblog/picAll/([^/?#]+)")
 _URL_INFO = re.compile(r"^https?://[^/]+/(\d+)/info")
+_URL_PROFILE = re.compile(r"^https?://[^/]+/(\d+)/profile(?:\?page=(\d+))?")
 
 
 def classify_url(url: str) -> tuple[str, str | None, int]:
@@ -512,6 +635,9 @@ def classify_url(url: str) -> tuple[str, str | None, int]:
     m = _URL_ALBUM.match(url)
     if m:
         return "album", m.group(1), 1
+    m = _URL_PROFILE.match(url)
+    if m:
+        return "profile", m.group(1), int(m.group(2) or 1)
     m = _URL_INFO.match(url)
     if m:
         return "info", m.group(1), 1

@@ -60,6 +60,7 @@ PARSED = StructType(
         StructField("following_num", IntegerType(), True),
         StructField("n_blocks", IntegerType(), True),  # repost stop-condition input
         StructField("text", StringType(), True),  # canonical page text (kind='page')
+        StructField("is_origin", BooleanType(), True),  # timeline P3 flag
     ]
 )
 
@@ -146,6 +147,27 @@ def _rows_for_page(url: str, html, now: datetime) -> list[list]:
             )
             text_parts.append(r["content"])
         n_blocks = len(reposts)
+    elif kind == "profile":
+        posts = kernel.extract_timeline_from_page(root, now)
+        for p in posts:
+            out.append(
+                mk(
+                    "timeline",
+                    entity_id=p["wid"],
+                    content=p["content"],
+                    like_count=p["like_count"],
+                    repost_count=p["forward_count"],
+                    comment_count=p["comment_count"],
+                    publish_time=p["publish_time"],
+                    publish_source=p["publish_tool"],
+                    images=p["images"],
+                    album_href=p["album_href"],
+                    is_origin=p["is_origin"],
+                    block_index=p["block_index"],
+                )
+            )
+            text_parts.append(p["content"])
+        n_blocks = len(posts)
     elif kind == "album":
         imgs = kernel.extract_album_images(root)
         out.append(mk("album", images=imgs))
@@ -277,6 +299,32 @@ def extract_users(parsed: DataFrame) -> DataFrame:
         "followers_num",
         "weibo_num",
         "following_num",
+    )
+
+
+def extract_timeline(parsed: DataFrame, only_origin: bool = False) -> DataFrame:
+    """User-timeline rows (FIXTURES.md §3.5). ``only_origin`` is the
+    reference's filter=1 mode (P3, `独立版/(using)WeiboUserScrapy.py:403`)."""
+    df = parsed.filter(F.col("kind") == "timeline")
+    if only_origin:
+        df = df.filter(F.col("is_origin"))
+    host = F.regexp_extract(F.col("url"), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    uid = F.col("root_id")
+    return df.select(
+        F.col("entity_id").alias("wid"),
+        uid.alias("uid"),
+        "page",
+        "block_index",
+        F.format_string("https://%s/comment/%s", host, F.col("entity_id")).alias("weibo_link"),
+        "content",
+        F.coalesce(F.col("images"), F.array()).alias("img_urls"),
+        "is_origin",
+        "publish_time",
+        F.col("publish_source").alias("publish_tool"),
+        F.col("like_count").alias("like_num"),
+        F.col("repost_count").alias("forward_num"),
+        F.col("comment_count").alias("comment_num"),
+        "album_href",
     )
 
 

@@ -376,6 +376,131 @@ def render_target_pages(t: Target, seed: int) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# user-timeline page family (FIXTURES.md §3.5; `(using)WeiboUserScrapy.py`)
+# ---------------------------------------------------------------------------
+
+TIMELINE_PER_PAGE = 5
+
+
+def _timeline_post(t: Target, j: int, seed: int) -> dict:
+    """One timeline entry of author t: original or retweet (with deleted
+    variant), images, footer counters. RNG streams (seed,t,200+j) are
+    disjoint from every other family — adding timelines never perturbs
+    existing page bytes."""
+    r = _rng(seed, t.t, 200 + j)
+    kind = r.random()
+    post = {
+        "twid": _b62(2_000_000_000_000_000 + t.t * 100003 + j, width=9),
+        "is_origin": kind < 0.65,
+        "deleted": False,
+        "content": _sentence(r, 6, 18),
+        "orig_user": None,
+        "orig_content": None,
+        "reason": None,
+        "raw_time": _raw_time(r),
+        "tool": r.choice(_TOOLS),
+        "like": r.randint(0, 300),
+        "fwd": r.randint(0, 120),
+        "cmt": r.randint(0, 80),
+        "n_imgs": r.randint(1, 3) if r.random() < 0.3 else 0,
+        "has_album_link": r.random() < 0.15,
+    }
+    if not post["is_origin"]:
+        post["deleted"] = r.random() < 0.15
+        post["orig_user"] = _name(r)
+        post["orig_content"] = _sentence(r, 8, 20)
+        post["reason"] = _sentence(r, 2, 8)
+        post["n_imgs"] = 0
+    return post
+
+
+def _timeline_block_html(t: Target, p: dict) -> str:
+    imgs = "".join(
+        f'<img src="https://wx{(i % 4) + 1}.sinaimg.cn/'
+        f'{"thumb180" if i % 2 == 0 else "wap180"}/tl{p["twid"]}_{i}.jpg"/>'
+        for i in range(p["n_imgs"])
+    )
+    album = (
+        f' <a href="https://{t.host}/mblog/picAll/{p["twid"]}?rl=1">组图</a>'
+        if p["has_album_link"] else ""
+    )
+    ct = f'<span class="ct">{escape(p["raw_time"])} 来自{escape(p["tool"])}</span>'
+    footer = f'赞[{p["like"]}] 转发[{p["fwd"]}] 评论[{p["cmt"]}] {ct}'
+    if p["is_origin"]:
+        return (
+            f'<div class="c" id="M_{p["twid"]}">'
+            f'<div><span class="ctt">:{escape(p["content"])}</span>{imgs}{album}</div>'
+            f"<div>{footer}</div></div>"
+        )
+    if p["deleted"]:
+        body = '<div><span class="cmt">转发了微博</span><span class="ctt">转发微博已被删除</span></div>'
+    else:
+        body = (
+            f'<div><span class="cmt">转发了 <a href="https://{t.host}/u/9{t.t}9">'
+            f'{escape(p["orig_user"])}</a> 的微博</span>'
+            f'<span class="ctt">:{escape(p["orig_content"])}</span></div>'
+        )
+    # 4 span.cmt total → is_origin False per the ≤3 rule (P3); the two
+    # filler spans are empty so they never pollute the extracted reason
+    return (
+        f'<div class="c" id="M_{p["twid"]}">{body}'
+        f'<div><span class="cmt">转发理由:</span>{escape(p["reason"] or "")} '
+        f'<span class="cmt"></span><span class="cmt"></span>{footer}</div></div>'
+    )
+
+
+def _timeline_oracle_content(p: dict) -> str:
+    """Record-level replay of the engine's timeline semantics (F8/P3)."""
+    if p["is_origin"]:
+        return clean_text(p["content"])
+    if p["deleted"]:
+        return "转发微博已被删除"
+    reason = clean_text(p["reason"] or "")
+    return f'{reason}\n原始用户: {p["orig_user"]}\n转发内容: {clean_text(p["orig_content"])}'
+
+
+def render_timeline_pages(t: Target, seed: int) -> list[dict]:
+    """Profile timeline pages for target t's author: /uid/profile?page=N."""
+    r = _rng(seed, t.t, 6)
+    n_posts = r.randint(3, 12)
+    posts = [_timeline_post(t, j, seed) for j in range(n_posts)]
+    warc_base = ANCHOR - timedelta(hours=6)
+    rows: list[dict] = []
+    n_pages = (n_posts + TIMELINE_PER_PAGE - 1) // TIMELINE_PER_PAGE
+    for page in range(1, n_pages + 1):
+        seg = posts[(page - 1) * TIMELINE_PER_PAGE : page * TIMELINE_PER_PAGE]
+        html = _HEAD + "".join(_timeline_block_html(t, p) for p in seg) + _TAIL
+        text = "\n".join(_timeline_oracle_content(p) for p in seg)
+        ts = warc_base + timedelta(seconds=(t.t * 131 + page * 17) % 86400)
+        rows.append(
+            {
+                "url": f"https://{t.host}/{t.uid}/profile?page={page}",
+                "warc_ts": ts,
+                "html": html.encode("utf-8"),
+                "text": text,
+                "lang": t.lang,
+            }
+        )
+    return rows
+
+
+def build_timeline_pages_df(spark, n_targets: int, seed: int = 42,
+                            partitions: int | None = None):
+    """Distributed deterministic timeline-page generation (same pattern as
+    build_pages_df)."""
+    partitions = partitions or max(8, min(n_targets // 64 + 1, 256))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for t_idx in pdf["id"]:
+                out.extend(render_timeline_pages(Target(seed, int(t_idx)), seed))
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return spark.range(0, n_targets, numPartitions=partitions).mapInPandas(gen, schema=PAGES)
+
+
+# ---------------------------------------------------------------------------
 # Spark-native generation
 # ---------------------------------------------------------------------------
 
