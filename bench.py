@@ -59,6 +59,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     t_total0 = time.time()
+    # untimed warm-up: JVM/codegen/Arrow warm-up otherwise lands on whichever
+    # query runs first and misreports it (VERDICT r01 §wrong-4)
+    _materialize(catalog.QUERIES["a1_pricing_summary"].fn(spark, sf_dir))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = catalog.QUERIES[name]

@@ -67,6 +67,20 @@ def test_base62_udfs(spark):
     assert out["back"] == "201110410216293360"
 
 
+def test_base62_zero_quirk():
+    """Reference JS parity (`独立版/WeiboSuperCommentScrapy.py:46-55`): the
+    JS `while (int10 != 0)` loop renders 0 as the EMPTY string, so id '0'
+    does not round-trip — by spec, not by bug. The catalog's roundtrip gate
+    therefore restricts its domain to ids ≥ 1."""
+    from wss_spark.functions.base62 import id_to_mid, mid_to_id
+
+    assert id_to_mid("0") == ""
+    assert mid_to_id("") == ""
+    assert id_to_mid("") == ""
+    # decode is the exact inverse on 4-char-aligned mids (real weibo mids):
+    assert mid_to_id("wr4mOFqpbO") == "201110410216293360"
+
+
 def test_url_canonicalization(spark):
     rows = [
         ("https://weibo.cn/comment/ABC?page=1", "https://weibo.cn/comment/ABC"),

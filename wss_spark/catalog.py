@@ -816,20 +816,35 @@ def f1_time_parse(spark, sf):
     )
 
 
-@_q("f11_base62_roundtrip", None)  # pandas-UDF codec; rows-only check
+@_q(
+    "f11_base62_roundtrip",
+    """
+    SELECT COUNT(*) AS n_total, COUNT(*) AS n_ok,
+           COUNT(DISTINCT o_orderkey) AS n_distinct_mid
+    FROM orders WHERE o_orderkey >= 1
+    """,
+)
 def f11_base62_roundtrip(spark, sf):
     """F11 id↔mid base62 codec (`独立版/WeiboSuperCommentScrapy.py:40-112`):
-    round-trips every orderkey through the vectorized codec; the ``ok``
-    column must be uniformly true (unit tests pin spec values)."""
+    round-trips every orderkey ≥ 1 through the vectorized codec (id 0 is out
+    of domain by reference spec: the JS int10to62 renders 0 as '', which a
+    unit test pins). Self-checking (ADVICE r01): the gate hashes
+    (n_total, n_ok, n_distinct_mid), so a codec that breaks a round-trip
+    (n_ok < n_total) or collides two ids (n_distinct_mid < n_total) fails
+    the oracle; unit tests pin spec values."""
     from wss_spark.functions.base62 import id2mid, mid2id
 
-    o = _t(spark, sf, "orders").select(
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") >= 1).select(
         F.col("o_orderkey").cast("string").alias("wid_id")
     )
     return (
         o.withColumn("mid", id2mid("wid_id"))
         .withColumn("back", mid2id("mid"))
-        .withColumn("ok", F.col("back") == F.col("wid_id"))
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("back") == F.col("wid_id"), 1)).alias("n_ok"),
+            F.countDistinct("mid").alias("n_distinct_mid"),
+        )
     )
 
 
@@ -959,9 +974,36 @@ def dd_simhash(spark, sf):
     return dedup.simhash(_t(spark, sf, "documents"))
 
 
-@_q("dd_simhash_pairs", None)  # banded-join engine path; rows-only check
+@_q(
+    "dd_simhash_pairs",
+    f"""
+    WITH docs AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM docs),
+    tk AS (SELECT doc_id, {_h28('tok')} AS x FROM toks WHERE tok <> ''),
+    votes AS (SELECT doc_id, i,
+                     CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END AS v
+              FROM tk, generate_series(0, 27) AS s(i)),
+    sums AS (SELECT doc_id, i, SUM(v) AS sv FROM votes GROUP BY 1, 2),
+    sh AS (SELECT doc_id,
+                  CAST(SUM(CASE WHEN sv > 0 THEN (1::BIGINT << i) ELSE 0 END)
+                       AS BIGINT) AS simhash
+           FROM sums GROUP BY doc_id),
+    banded AS (SELECT doc_id, simhash, i AS band,
+                      (simhash >> (i * 7)) & 127 AS band_bits
+               FROM sh, generate_series(0, 3) AS b(i)),
+    cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS sh_a, b.simhash AS sh_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_bits = b.band_bits
+               AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
 def dd_simhash_pairs(spark, sf):
-    """SimHash near-dup pairs via pigeonhole bit-band blocking."""
+    """SimHash near-dup pairs via pigeonhole bit-band blocking (the DuckDB
+    oracle replays the banding, so the blocking itself is gated too)."""
     return dedup.simhash_near_pairs(dedup.simhash(_t(spark, sf, "documents")), max_hamming=3)
 
 

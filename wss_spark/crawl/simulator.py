@@ -95,11 +95,13 @@ def simulate(
     order: list[str] = []
     wave = 0
     while frontier and wave < max_waves:
-        # in-wave dedup keep-best
+        # in-wave dedup keep-best; ``url`` is the final tiebreak, matching
+        # frontier._dedup_in_wave (two distinct urls can share a canon form
+        # with identical ordering keys — the kept representative must agree)
         best: dict[str, tuple] = {}
         for row in frontier:
             c = row[4]
-            if c not in best or row[:4] + (c,) < best[c][:4] + (c,):
+            if c not in best or row[:4] + (c, row[5]) < best[c][:4] + (c, best[c][5]):
                 best[c] = row
         new = [r for r in best.values() if r[4] not in seen]
         allowed = []

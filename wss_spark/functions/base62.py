@@ -61,9 +61,11 @@ def mid_to_id(mid: str) -> str:
 
 @pandas_udf(StringType())
 def id2mid(ids: pd.Series) -> pd.Series:
-    return ids.map(lambda v: id_to_mid(v) if v else None)
+    # JS parity: '' → '' and '0' → '' (the reference's int10to62 renders 0 as
+    # the empty string); only true NULLs map to NULL
+    return ids.map(lambda v: id_to_mid(v) if v is not None else None)
 
 
 @pandas_udf(StringType())
 def mid2id(mids: pd.Series) -> pd.Series:
-    return mids.map(lambda v: mid_to_id(v) if v else None)
+    return mids.map(lambda v: mid_to_id(v) if v is not None else None)

@@ -101,7 +101,12 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.8,
     (docs sharing ≥1 shingle) — correct but O(pairs-sharing-a-shingle). With
     ``candidates`` (e.g. from LSH), intersections are computed only for those
     pairs: the 100 TB path.
+
+    ``sh`` is persisted before the self-join: without it both sides of the
+    join recompute the whole normalize→shingle pipeline (VERDICT r01 found
+    two full subtrees in the plan).
     """
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -168,7 +173,12 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
 def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     """Docs sharing any band bucket → distinct (doc_a, doc_b). Equi-join on
     (band, band_key): the shuffle key is the band hash, never the doc —
-    hot documents cannot skew it."""
+    hot documents cannot skew it.
+
+    ``bands`` is persisted first so the shingle→minhash→band pipeline is
+    computed once, not once per join side (the r01 plan showed the full
+    19-operator subtree duplicated)."""
+    bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -203,12 +213,22 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     """(doc_id, simhash): 28-bit simhash over word tokens (with multiplicity).
 
     bit_i(simhash) = 1 iff sum over tokens of (+1 if bit_i(h28(token)) else -1) > 0.
+
+    Tokens repeat, so votes are aggregated over DISTINCT token hashes first
+    (weighted by occurrence count) and the 28-bit explode runs on the much
+    smaller distinct frame — the r01 version exploded 28 rows per token
+    occurrence (a 28× row amplifier on raw token volume).
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
-    hashed = toks.select("doc_id", portable_hash28("tok").alias("x"))
+    # map-side-combinable: (doc, token-hash) occurrence counts
+    hashed = (
+        toks.select("doc_id", portable_hash28("tok").alias("x"))
+        .groupBy("doc_id", "x")
+        .agg(F.count("*").alias("cnt"))
+    )
     # shiftright/shiftleft take literal shift amounts only → use exact 2^i
     # arithmetic (i ≤ 27, well inside double precision)
     bit_i = F.floor(F.col("x") / F.pow(F.lit(2.0), F.col("i"))).cast("long").bitwiseAND(F.lit(1))
@@ -216,10 +236,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
         F.col("x"),
+        F.col("cnt"),
     ).select(
         "doc_id",
         "i",
-        F.when(bit_i == 1, 1).otherwise(-1).alias("vote"),
+        F.when(bit_i == 1, F.col("cnt")).otherwise(-F.col("cnt")).alias("vote"),
     )
     return (
         bits.groupBy("doc_id", "i")
@@ -255,7 +276,7 @@ def simhash_near_pairs(sims: DataFrame, block_col: DataFrame | None = None,
         )
         .cast("long")
         .bitwiseAND(F.lit((1 << band_width) - 1)),
-    )
+    ).persist()  # one simhash+banding computation, not one per join side
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
