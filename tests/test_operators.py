@@ -72,6 +72,26 @@ def test_brute_force_cosine(spark):
     assert rows[0]["sim"] > 0.99
 
 
+def test_srp_recall_vs_exact(spark):
+    """VERDICT r01 item 3: the approximate ANN path needs a recall assertion
+    against the exact baseline (it has no value oracle by design)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["qid"], r["nid"])
+        for r in similarity.brute_force_topk(emb, q, k=5).select("qid", "nid").collect()
+    }
+    approx = {
+        (r["qid"], r["nid"])
+        for r in similarity.srp_topk(
+            emb, q, k=5, dim=64, n_planes=4, n_tables=8, n_probe_bits=1
+        ).select("qid", "nid").collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"SRP recall@5 too low: {recall}"
+    emb.unpersist()
+
+
 def test_srp_recalls_identical_vector(spark):
     vecs = [(i, [float((i * 17 + d * 3) % 101 - 50) for d in range(16)]) for i in range(20)]
     vecs.append((99, list(vecs[0][1])))  # exact duplicate of vec 0

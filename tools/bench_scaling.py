@@ -1,6 +1,6 @@
 """Two-parallelism scaling evidence (BASELINE.md sandbox plan).
 
-Runs the SAME crawl job on the SAME input at local[8] and local[32]
+Runs the SAME job on the SAME input at local[8] and local[32]
 (8 → 32 cores = N → 4N), in separate subprocesses (one JVM per master),
 and reports:
 
@@ -9,17 +9,28 @@ and reports:
 - whether the visit order and final seen set are identical at both levels
   (north rule: ordering is a pure function of data)
 
-Two modes:
+Modes:
 - discovery mode (default): seeds = per-target entry urls, frontier expands
   wave by wave. Exercises ordering/politeness; at sandbox sizes it is
   latency-bound (per-wave fixed costs), so it under-reports scaling.
 - bulk mode (`bulk` argv): seeds = the full url set (backfill / re-crawl
   configuration — the BASELINE metric's "10^10-URL frontier" drain).
   Compute-dominated → the honest parallel-efficiency measurement.
+- stages mode (`stages` argv): times each pipeline constituent SEPARATELY on
+  the same persisted pages table, so the scaling ceiling can be attributed
+  per stage (ADVICE r01: substantiate the bandwidth argument per-stage):
+    gen        distributed synthetic page generation (Python+Arrow out)
+    extract    the extraction mapInArrow (html in, tall entities out)
+    arrow_rt   identity mapInArrow round-trip of (url, html) — pure Arrow
+               transport + Python iteration, zero parsing
+    jvm        pure-JVM hash/aggregate over the same html bytes (no Python)
+    pycpu      pure-Python CPU loop via mapInArrow over tiny input — Python
+               process scaling with negligible memory traffic
 
 Usage:
-  python tools/bench_scaling.py [n_targets] [budget] [bulk]
-  (budget 0 = unbounded)
+  python tools/bench_scaling.py [n_targets] [budget] [discovery|bulk|stages] [repeats]
+  (budget 0 = unbounded; repeats > 1 alternates levels and keeps min wall —
+  single-JVM runs are noisy, r01 used min-of-3)
 Prints one JSON line; results recorded in BASELINE.md.
 """
 
@@ -50,10 +61,67 @@ from wss_spark.session import get_spark
 from wss_spark.synth import build_pages_df, seed_list
 
 cores = int(sys.argv[1]); n_targets = int(sys.argv[2])
-budget = int(sys.argv[3]); bulk = sys.argv[4] == "bulk"
+budget = int(sys.argv[3]); mode = sys.argv[4]
 spark = get_spark(app_name=f"scale{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+if mode == "stages":
+    import pyarrow as pa
+    from wss_spark.extraction.parse_page import parse_pages
+
+    out = {{"cores": cores}}
+    t0 = time.time()
+    pages = build_pages_df(spark, n_targets, seed=42).persist()
+    n_pages = pages.count()
+    out["gen_s"] = round(time.time() - t0, 2)
+    out["n_pages"] = int(n_pages)
+    noop(pages)  # touch the cache once so later stages read warm
+
+    t0 = time.time(); noop(parse_pages(pages))
+    out["extract_s"] = round(time.time() - t0, 2)
+
+    def ident(batches):
+        for b in batches:
+            urls = b.column(0).to_pylist(); htmls = b.column(1).to_pylist()
+            ns = [len(h) for h in htmls]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, type=pa.string()), pa.array(ns, type=pa.int64())],
+                names=["url", "n"])
+    t0 = time.time()
+    noop(pages.select("url", "html").mapInArrow(ident, "url string, n long"))
+    out["arrow_rt_s"] = round(time.time() - t0, 2)
+
+    # fixed work, heavy enough (>10 s at 8 cores) that per-job fixed costs
+    # don't drown the signal
+    t0 = time.time()
+    pages.select(F.sha2(F.base64("html"), 256).alias("h"),
+                 F.length("text").alias("l")) \
+         .agg(F.count(F.substring("h", 1, 4)), F.sum("l"), F.count("*")).collect()
+    out["jvm_s"] = round(time.time() - t0, 2)
+
+    def burn(batches):
+        for b in batches:
+            acc = 0
+            for v in b.column(0).to_pylist():
+                x = int(v)
+                for _ in range(600000):
+                    x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+                acc ^= x
+            yield pa.RecordBatch.from_arrays([pa.array([acc], type=pa.int64())], names=["a"])
+    t0 = time.time()
+    noop(spark.range(0, 768, numPartitions=256)
+              .select(F.col("id").cast("long")).mapInArrow(burn, "a long"))
+    out["pycpu_s"] = round(time.time() - t0, 2)
+    print(json.dumps(out))
+    spark.stop()
+    shutil.rmtree("/dev/shm/wss_bench", ignore_errors=True)
+    sys.exit(0)
+
+bulk = mode == "bulk"
 pages = build_pages_df(spark, n_targets, seed=42).persist(); n_pages = pages.count()
 seeds = pages.select("url") if bulk else seed_list(n_targets, seed=42)
 cfg = CrawlConfig(budget=(None if budget <= 0 else budget), n_buckets=64,
@@ -89,7 +157,7 @@ shutil.rmtree("/dev/shm/wss_bench", ignore_errors=True)
 """
 
 
-def run_level(cores: int, n_targets: int, budget: int, bulk: bool) -> dict:
+def run_level(cores: int, n_targets: int, budget: int, mode: str) -> dict:
     script = WORKER.format(repo=REPO)
     # pin the N-core leg to N physical cores: an unpinned local[8] borrows
     # all 32 cores' turbo/bandwidth during stalls and under-reports scaling —
@@ -97,8 +165,7 @@ def run_level(cores: int, n_targets: int, budget: int, bulk: bool) -> dict:
     prefix = ["taskset", "-c", f"0-{cores - 1}"] if cores < os.cpu_count() else []
     out = subprocess.run(
         prefix
-        + [sys.executable, "-c", script, str(cores), str(n_targets), str(budget),
-           "bulk" if bulk else "discovery"],
+        + [sys.executable, "-c", script, str(cores), str(n_targets), str(budget), mode],
         capture_output=True, text=True, timeout=3600,
     )
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
@@ -110,14 +177,32 @@ def run_level(cores: int, n_targets: int, budget: int, bulk: bool) -> dict:
 def main() -> None:
     n_targets = int(sys.argv[1]) if len(sys.argv) > 1 else 150
     budget = int(sys.argv[2]) if len(sys.argv) > 2 else 0  # 0 = unbounded
-    bulk = len(sys.argv) > 3 and sys.argv[3] == "bulk"
-    lo = run_level(8, n_targets, budget, bulk)
-    hi = run_level(32, n_targets, budget, bulk)
+    mode = sys.argv[3] if len(sys.argv) > 3 else "discovery"
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    lo_runs, hi_runs = [], []
+    for _ in range(repeats):
+        lo_runs.append(run_level(8, n_targets, budget, mode))
+        hi_runs.append(run_level(32, n_targets, budget, mode))
+    lo = min(lo_runs, key=lambda r: r.get("wall_s", r.get("extract_s", 0)))
+    hi = min(hi_runs, key=lambda r: r.get("wall_s", r.get("extract_s", 0)))
+    if repeats > 1 and mode != "stages":
+        lo["all_walls"] = [r["wall_s"] for r in lo_runs]
+        hi["all_walls"] = [r["wall_s"] for r in hi_runs]
+    if mode == "stages":
+        effs = {
+            k[:-2]: round(lo[k] / hi[k] / 4, 3)
+            for k in ("gen_s", "extract_s", "arrow_rt_s", "jvm_s", "pycpu_s")
+        }
+        print(json.dumps({
+            "mode": mode, "n_targets": n_targets,
+            "local8": lo, "local32": hi, "stage_scaling_efficiency": effs,
+        }))
+        return
     eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4
     print(
         json.dumps(
             {
-                "mode": "bulk" if bulk else "discovery",
+                "mode": mode,
                 "n_targets": n_targets,
                 "budget": budget,
                 "local8": lo,

@@ -25,6 +25,39 @@ from wss_spark.extraction.parse_page import (
 )
 
 
+def add_user_links(df: DataFrame, mapping: DataFrame,
+                   name_col: str = "user_name",
+                   link_col: str = "user_link",
+                   finish_col: str = "finish") -> DataFrame:
+    """J6 — name→uid resolution with finish-column work skipping, the
+    distributed `独立版/SearchUser.py:63-92` (dfAddUserLink): rows already
+    marked ``finish`` keep their link untouched; unresolved rows left-join
+    the name→uid mapping (built from user-search pages) and are marked done.
+    A name with no hit resolves to uid -1 — the reference writes
+    ``https://weibo.com/u/-1`` too (`:80-88`). Its 3-consecutive-miss cookie
+    bailout is operational pacing, not dataflow, and has no engine analog.
+    """
+    if finish_col not in df.columns:
+        df = df.withColumn(finish_col, F.lit(False)).withColumn(link_col, F.lit(""))
+    done = df.filter(F.col(finish_col))
+    todo = df.filter(~F.col(finish_col)).drop(link_col)
+    m = mapping.select(
+        F.col("query_name").alias(name_col), F.col("uid").alias("_uid")
+    )
+    resolved = (
+        todo.join(F.broadcast(m), name_col, "left")
+        .withColumn(
+            link_col,
+            F.format_string(
+                "https://weibo.com/u/%s", F.coalesce(F.col("_uid"), F.lit("-1"))
+            ),
+        )
+        .withColumn(finish_col, F.lit(True))
+        .drop("_uid")
+    )
+    return done.unionByName(resolved.select(*done.columns))
+
+
 def enrich_comments_with_users(comments: DataFrame, users: DataFrame) -> DataFrame:
     """J1: per-commenter profile enrichment as a broadcast join — replaces
     the reference's per-comment profile fetch (N+1 → 1 join). Output mirrors

@@ -187,10 +187,137 @@ def classify_user_actions(payloads: DataFrame, title_col: str = "page_title",
     )
 
 
-def synth_topic_payloads(spark, n_pages: int, seed: int = 42) -> DataFrame:
+# ---------------------------------------------------------------------------
+# like plane: m.weibo.cn /api/attitudes/show (`独立版/WeiboLikeSpider.py`)
+# ---------------------------------------------------------------------------
+
+LIKE_ITEM = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("created_at", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField(
+            "user",
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("screen_name", T.StringType()),
+                    T.StructField("verified_type", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+LIKE_PAYLOAD = T.StructType(
+    [
+        T.StructField("ok", T.IntegerType()),
+        T.StructField(
+            "data",
+            T.StructType([T.StructField("data", T.ArrayType(LIKE_ITEM))]),
+        ),
+    ]
+)
+
+
+def _raw_time_like(r) -> str:
+    """created_at strings hitting every branch of the like spider's padded
+    parser — crucially including UNPADDED ``8月5日`` forms (`:41-51`)."""
+    from datetime import timedelta
+
+    from wss_spark.extraction.kernel import ANCHOR
+
+    kind = r.random()
+    if kind < 0.08:
+        return "刚刚"
+    if kind < 0.22:
+        return f"{r.randint(1, 59)}分钟前"
+    if kind < 0.34:
+        return f"{r.randint(1, 12)}小时前"
+    if kind < 0.48:
+        return f"今天 {r.randint(0, 23):02d}:{r.randint(0, 59):02d}"
+    if kind < 0.82:
+        d = ANCHOR - timedelta(days=r.randint(0, 60), minutes=r.randint(0, 1400))
+        return f"{d.month}月{d.day}日 {d.hour:02d}:{d.minute:02d}"  # unpadded
+    d = ANCHOR - timedelta(days=r.randint(0, 200), minutes=r.randint(0, 1400))
+    return d.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def like_payload_rows(n_weibos: int, seed: int = 42) -> list[tuple]:
+    """Deterministic stored /api/attitudes/show payload pages, shared between
+    the Spark fixture and the DuckDB oracle VALUES. Per weibo: 1-3 pages of
+    4-9 like rows, then one empty page (the reference's stop probe,
+    `独立版/WeiboLikeSpider.py:175-177`)."""
+    import json
+    import random
+
+    rows: list[tuple] = []
+    for w in range(n_weibos):
+        r = random.Random(seed * 1_000_003 + w * 7919)
+        wid = str(4_400_000_000_000_000 + w * 104729)
+        n_pages = r.randint(1, 3)
+        for p in range(1, n_pages + 2):
+            items = []
+            if p <= n_pages:
+                for j in range(r.randint(4, 9)):
+                    items.append(
+                        {
+                            "id": 9_000_000_000 + w * 10_000 + p * 100 + j,
+                            "created_at": _raw_time_like(r),
+                            "source": r.choice(
+                                ["微博网页版", "iPhone客户端", "HUAWEI Mate", "Android"]
+                            ),
+                            "user": {
+                                "id": 7_000_000_000 + w * 1000 + j,
+                                "screen_name": f"点赞用户{w}_{p}_{j}",
+                                "verified_type": r.choice([-1, 0, 1, 3]),
+                            },
+                        }
+                    )
+            payload = {"ok": 1, "data": {"data": items}}
+            rows.append((wid, p, json.dumps(payload, ensure_ascii=False)))
+    return rows
+
+
+def synth_like_payloads(spark, n_weibos: int, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(
+        like_payload_rows(n_weibos, seed), "wid string, page int, payload string"
+    )
+
+
+def parse_like_payloads(payloads: DataFrame, json_col: str = "payload") -> DataFrame:
+    """Stored like-API pages → like rows (`独立版/WeiboLikeSpider.py:167-196`
+    result columns): lid, publish_time (padded sliced parser, JVM), user_name,
+    user_link (F12 `:182`), source, user_verified_type. All from_json — no
+    Python."""
+    from wss_spark.extraction.kernel import ANCHOR
+    from wss_spark.functions.times import parse_weibo_time_like
+
+    parsed = payloads.withColumn("_p", F.from_json(F.col(json_col), LIKE_PAYLOAD))
+    items = parsed.select(
+        "*", F.posexplode_outer(F.col("_p.data.data")).alias("like_index", "item")
+    ).filter(F.col("item").isNotNull())
+    return items.select(
+        F.col("wid"),
+        F.col("page"),
+        F.col("like_index"),
+        F.col("item.id").alias("lid"),
+        parse_weibo_time_like(F.col("item.created_at"), ANCHOR).alias("publish_time"),
+        F.col("item.user.screen_name").alias("user_name"),
+        F.format_string(
+            "https://weibo.com/u/%d", F.col("item.user.id")
+        ).alias("user_link"),
+        F.col("item.source").alias("source"),
+        F.col("item.user.verified_type").alias("user_verified_type"),
+    )
+
+
+def topic_payload_rows(n_pages: int, seed: int = 42) -> list[tuple]:
     """Deterministic stored-API fixture pages (JSON strings), shaped like the
     m.weibo.cn getIndex responses the reference consumes. Includes every P4
-    card-type branch and retweet/longtext variants."""
+    card-type branch and retweet/longtext variants. Pure Python so the same
+    payload strings feed both the Spark fixture and the DuckDB oracle
+    VALUES."""
     import json
 
     rows = []
@@ -234,4 +361,10 @@ def synth_topic_payloads(spark, n_pages: int, seed: int = 42) -> DataFrame:
         }
         rows.append((p, f"某人评论过的微博" if p % 3 == 0 else ("赞过的微博" if p % 3 == 1 else "转发过的微博"),
                      json.dumps(payload, ensure_ascii=False)))
-    return spark.createDataFrame(rows, "page int, page_title string, payload string")
+    return rows
+
+
+def synth_topic_payloads(spark, n_pages: int, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(
+        topic_payload_rows(n_pages, seed), "page int, page_title string, payload string"
+    )

@@ -42,6 +42,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _sqlv(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _values_table(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
+    """rows + [(name, ducktype)] → a typed SELECT ... FROM (VALUES ...).
+    Used by the record-level replay oracles: the Spark side parses HTML/JSON,
+    the DuckDB side re-derives the same rows from the synthetic model."""
+    vals = ",\n".join("(" + ", ".join(_sqlv(v) for v in r) + ")" for r in rows)
+    casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    names = ", ".join(n for n, _ in cols)
+    return f"SELECT {casts} FROM (VALUES {vals}) AS _vt({names})"
+
+
 # SQL fragment shared by the doc pipelines (matches dedup.normalize_text)
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 # portable 28-bit hash (matches dedup.portable_hash28)
@@ -848,10 +868,21 @@ def f11_base62_roundtrip(spark, sf):
     )
 
 
+def _flagship_expected() -> list[tuple]:
+    from collections import Counter
+
+    from wss_spark.synth import expected_comment_rows
+
+    cnt = Counter(r["commenter_name"] for r in expected_comment_rows(12, 42))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return [(n, c) for n, c in ranked]
+
+
 @_q("flagship_top_commenters", None)
 def flagship_top_commenters(spark, sf):
     """The reference's flagship analysis (`独立版/WeiboDeepAnalyzer.py:584-588`):
-    crawl → extract → top-10 commenters by comment count."""
+    crawl → extract → top-10 commenters by comment count; record-level
+    Counter replay as the oracle."""
     from wss_spark.extraction.parse_page import extract_comments, parse_pages
     from wss_spark.operators.analytics import count_top_names
     from wss_spark.synth import build_pages_df
@@ -859,6 +890,11 @@ def flagship_top_commenters(spark, sf):
     pages = build_pages_df(spark, 12, seed=42)
     comments = extract_comments(parse_pages(pages))
     return count_top_names(comments, "commenter_name", 10)
+
+
+QUERIES["flagship_top_commenters"].sql = _values_table(
+    _flagship_expected(), [("commenter_name", "VARCHAR"), ("cnt", "BIGINT")]
+)
 
 
 # ===========================================================================
@@ -1039,11 +1075,17 @@ def ann_cosine_topk(spark, sf):
     )
 
 
-@_q("ann_srp_topk", None)  # approximate path; rows-only check
+@_q("ann_srp_topk", None)  # approximate path; rows-only + recall test gate
 def ann_srp_topk(spark, sf):
-    """Sign-random-projection LSH ANN (the 100 TB scale path)."""
+    """Sign-random-projection LSH ANN with query-side multi-probe (the
+    100 TB scale path — corpus bucketing stays single-bucket). Approximate
+    by design, so no value oracle; tests pin recall@5 ≥ 0.7 vs the exact
+    brute-force baseline (tests/test_operators.py)."""
     emb = _t(spark, sf, "embeddings")
-    return similarity.srp_topk(emb, emb.filter(F.col("vec_id") < 3), k=5, dim=64)
+    return similarity.srp_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, dim=64,
+        n_planes=4, n_tables=8, n_probe_bits=1,
+    )
 
 
 def _cnt_sql(t: str, m: str) -> str:
@@ -1126,6 +1168,403 @@ def ts_fingerprint(spark, sf):
 
 
 # ===========================================================================
+# page-family extraction gates (round 2): the DuckDB side is either a
+# record-level replay of the synthetic model (VALUES — the Spark side parses
+# the HTML, the oracle re-derives the same rows from the underlying records,
+# a true round-trip), or a DuckDB-JSON re-parse of the same payload strings.
+# ===========================================================================
+
+
+_N_SEARCH_TARGETS = 40
+
+
+def _search_expected() -> list[tuple]:
+    from wss_spark import synth
+
+    rows = []
+    for kw_i in range(synth.n_search_keywords(_N_SEARCH_TARGETS)):
+        hits = synth.search_keyword_hits(kw_i, _N_SEARCH_TARGETS, 42)
+        for i, h in enumerate(hits):
+            o = synth._search_hit_oracle(h)
+            rows.append(
+                (
+                    f"topic{kw_i}",
+                    i // synth.SEARCH_HITS_PER_PAGE + 1,
+                    i % synth.SEARCH_HITS_PER_PAGE,
+                    o["wid"],
+                    o["publisher_uid"],
+                    o["is_origin"],
+                    o["content"],
+                    o["publish_place"],
+                    o["publish_time"],
+                    o["publish_tool"],
+                    o["like_count"],
+                    o["forward_count"],
+                    o["comment_count"],
+                )
+            )
+    return rows
+
+
+_SEARCH_COLS = [
+    ("keyword", "VARCHAR"), ("page", "INTEGER"), ("block_index", "INTEGER"),
+    ("wid", "VARCHAR"), ("publisher_uid", "VARCHAR"), ("is_origin", "BOOLEAN"),
+    ("content", "VARCHAR"), ("publish_place", "VARCHAR"),
+    ("publish_time", "VARCHAR"), ("publish_tool", "VARCHAR"),
+    ("up_num", "INTEGER"), ("retweet_num", "INTEGER"), ("comment_num", "INTEGER"),
+]
+
+
+@_q("topic_search_extract", None)  # sql filled in below (import-time replay)
+def topic_search_extract(spark, sf):
+    """Topic-search page family (`独立版/WeiboTopicScrapy.py:352-386`): HTML
+    search-result pages → typed hit rows through the extraction UDF; the
+    oracle re-derives every row record-level (no DOM)."""
+    from wss_spark.extraction.parse_page import extract_search_hits, parse_pages
+    from wss_spark.synth import build_search_pages_df
+
+    hits = extract_search_hits(
+        parse_pages(build_search_pages_df(spark, _N_SEARCH_TARGETS, seed=42))
+    )
+    return hits.select(
+        "keyword", "page", "block_index", "wid", "publisher_uid", "is_origin",
+        "content", "publish_place", "publish_time", "publish_tool",
+        "up_num", "retweet_num", "comment_num",
+    )
+
+
+QUERIES["topic_search_extract"].sql = _values_table(_search_expected(), _SEARCH_COLS)
+
+
+def _search_enriched_expected() -> list[tuple]:
+    from wss_spark import synth
+
+    dim_by_uid = {}
+    for t_idx in range(_N_SEARCH_TARGETS):
+        t = synth.Target(42, t_idx)
+        dim_by_uid[t.uid] = synth.target_user_dim(t, 42)
+    rows = []
+    for kw_i in range(synth.n_search_keywords(_N_SEARCH_TARGETS)):
+        for h in synth.search_keyword_hits(kw_i, _N_SEARCH_TARGETS, 42):
+            d = dim_by_uid[h["uid"]]
+            rows.append(
+                (
+                    h["swid"], h["uid"], d["nickname"], d["gender"],
+                    d["location"], d["following_num"], d["followers_num"],
+                )
+            )
+    return rows
+
+
+@_q("topic_search_enriched", None)
+def topic_search_enriched(spark, sf):
+    """J2 — publisher-profile enrichment of search hits as a broadcast join
+    against the user dim extracted from /info pages (replaces the per-hit
+    fetch `独立版/WeiboTopicScrapy.py:332-349`)."""
+    from wss_spark.extraction.parse_page import (
+        enrich_search_hits,
+        extract_users,
+        parse_pages,
+    )
+    from wss_spark.synth import build_pages_df, build_search_pages_df
+
+    users = extract_users(parse_pages(build_pages_df(spark, _N_SEARCH_TARGETS, seed=42)))
+    enriched = enrich_search_hits(
+        parse_pages(build_search_pages_df(spark, _N_SEARCH_TARGETS, seed=42)), users
+    )
+    return enriched.select(
+        "wid", "publisher_uid", "publisher_name", "publisher_sex",
+        "publisher_province", "publisher_following", "publisher_followed",
+    )
+
+
+QUERIES["topic_search_enriched"].sql = _values_table(
+    _search_enriched_expected(),
+    [
+        ("wid", "VARCHAR"), ("publisher_uid", "VARCHAR"),
+        ("publisher_name", "VARCHAR"), ("publisher_sex", "VARCHAR"),
+        ("publisher_province", "VARCHAR"),
+        ("publisher_following", "INTEGER"), ("publisher_followed", "INTEGER"),
+    ],
+)
+
+
+def _article_expected() -> list[tuple]:
+    from wss_spark import synth
+
+    rows = []
+    for t_idx in range(_N_SEARCH_TARGETS):
+        for r in synth.render_article_pages(synth.Target(42, t_idx), 42):
+            aid = r["url"].rsplit("/", 1)[1]
+            rows.append((aid, r["text"], r["url"]))
+    return rows
+
+
+@_q("article_extract", None)
+def article_extract(spark, sf):
+    """Article page family — the `<p>` text+img interleave walk
+    (`独立版/WeiboComPostSpider.py:114-137`, the F15 variant)."""
+    from wss_spark.extraction.parse_page import extract_articles, parse_pages
+    from wss_spark.synth import build_article_pages_df
+
+    return extract_articles(
+        parse_pages(build_article_pages_df(spark, _N_SEARCH_TARGETS, seed=42))
+    )
+
+
+QUERIES["article_extract"].sql = _values_table(
+    _article_expected(),
+    [("article_id", "VARCHAR"), ("article_text", "VARCHAR"), ("url", "VARCHAR")],
+)
+
+
+def _timeline_expected() -> list[tuple]:
+    from wss_spark import synth
+    from wss_spark.extraction.kernel import ANCHOR, parse_time
+
+    rows = []
+    for t_idx in range(10):
+        t = synth.Target(42, t_idx)
+        r = synth._rng(42, t.t, 6)
+        n_posts = r.randint(3, 12)
+        for j in range(n_posts):
+            p = synth._timeline_post(t, j, 42)
+            page = j // synth.TIMELINE_PER_PAGE + 1
+            block = j % synth.TIMELINE_PER_PAGE
+            imgs = " ".join(
+                f"https://wx{(i % 4) + 1}.sinaimg.cn/large/tl{p['twid']}_{i}.jpg"
+                for i in range(p["n_imgs"])
+            )
+            raw_ct = f'{p["raw_time"]} 来自{p["tool"]}'
+            rows.append(
+                (
+                    p["twid"], t.uid, page, block,
+                    f"https://{t.host}/comment/{p['twid']}",
+                    synth._timeline_oracle_content(p),
+                    imgs,
+                    p["is_origin"],
+                    parse_time(raw_ct, ANCHOR),
+                    p["tool"],
+                    p["like"], p["fwd"], p["cmt"],
+                )
+            )
+    return rows
+
+
+@_q("timeline_extract", None)
+def timeline_extract(spark, sf):
+    """User-timeline family (`(using)WeiboUserScrapy.py` flagship): profile
+    pages → typed timeline rows with P3 origin flag, F8 retweet assembly,
+    F4 footer triples; record-level VALUES oracle (img arrays joined with
+    the reference's space separator, F13)."""
+    from wss_spark.extraction.parse_page import extract_timeline, parse_pages
+    from wss_spark.synth import build_timeline_pages_df
+
+    tl = extract_timeline(parse_pages(build_timeline_pages_df(spark, 10, seed=42)))
+    return tl.select(
+        "wid", "uid", "page", "block_index", "weibo_link", "content",
+        F.array_join("img_urls", " ").alias("img_urls"),
+        "is_origin", "publish_time", "publish_tool",
+        "like_num", "forward_num", "comment_num",
+    )
+
+
+QUERIES["timeline_extract"].sql = _values_table(
+    _timeline_expected(),
+    [
+        ("wid", "VARCHAR"), ("uid", "VARCHAR"), ("page", "INTEGER"),
+        ("block_index", "INTEGER"), ("weibo_link", "VARCHAR"),
+        ("content", "VARCHAR"), ("img_urls", "VARCHAR"), ("is_origin", "BOOLEAN"),
+        ("publish_time", "VARCHAR"), ("publish_tool", "VARCHAR"),
+        ("like_num", "INTEGER"), ("forward_num", "INTEGER"), ("comment_num", "INTEGER"),
+    ],
+)
+
+
+def _api_comments_expected() -> list[tuple]:
+    from wss_spark import synth
+
+    rows = []
+    for t_idx in range(30):
+        t = synth.Target(42, t_idx)
+        for (cur, nxt, comments) in synth.hotflow_chain(t, 42):
+            flat = []
+            for c in comments:
+                flat.append(c)
+                flat.extend(c.get("comments", []))
+            for j, c in enumerate(flat):
+                u = c["user"]
+                rows.append(
+                    (
+                        t.wid, j, str(c["id"]), c["created_at"], c["text"],
+                        str(u["id"]),
+                        c.get("like_count", -1) if c.get("like_count") is not None else -1,
+                        u["screen_name"], u["follow_count"], u["followers_count"],
+                        u["gender"],
+                    )
+                )
+    return rows
+
+
+@_q("api_comments_extract", None)
+def api_comments_extract(spark, sf):
+    """max_id-cursor API comment plane (`独立版/WeiboSuperCommentScrapy.py:
+    353-430`): stored hotflow payload pages → flattened comment rows
+    (nested sub-comments inline, raw created_at verbatim). The reference's
+    ``数据缺失`` missing-like sentinel is hashed as -1 here (P8 at export)."""
+    from wss_spark.extraction.parse_page import extract_api_comments, parse_pages
+    from wss_spark.synth import build_hotflow_pages_df
+
+    c = extract_api_comments(parse_pages(build_hotflow_pages_df(spark, 30, seed=42)))
+    return c.select(
+        "weibo_id", "block_index", "wid", "time", "text", "uid",
+        F.coalesce("like_count", F.lit(-1)).alias("like_count"),
+        "username", "following", "followed", "gender",
+    )
+
+
+QUERIES["api_comments_extract"].sql = _values_table(
+    _api_comments_expected(),
+    [
+        ("weibo_id", "VARCHAR"), ("block_index", "INTEGER"), ("wid", "VARCHAR"),
+        ("time", "VARCHAR"), ("text", "VARCHAR"), ("uid", "VARCHAR"),
+        ("like_count", "INTEGER"), ("username", "VARCHAR"),
+        ("following", "INTEGER"), ("followed", "INTEGER"), ("gender", "VARCHAR"),
+    ],
+)
+
+
+def _name_uid_expected() -> list[tuple]:
+    import zlib
+
+    from wss_spark import synth
+
+    first_uid: dict[str, str] = dict(synth.name_uid_pairs(_N_SEARCH_TARGETS, 42))
+    rows = []
+    for t_idx in range(_N_SEARCH_TARGETS):
+        name = synth.Target(42, t_idx).user_name
+        r = synth._rng(42, zlib.crc32(name.encode("utf-8")), 5)
+        uid = first_uid[name] if r.random() >= 0.12 else "-1"
+        rows.append((name, f"https://weibo.com/u/{uid}", True))
+    return rows
+
+
+@_q("name_uid_resolution", None)
+def name_uid_resolution(spark, sf):
+    """J6 — real name→uid resolution (`独立版/SearchUser.py`): the mapping is
+    extracted from user-search pages (first hit wins; no hit → uid -1) and
+    applied with finish-column work skipping (dfAddUserLink)."""
+    from wss_spark.analysis import add_user_links
+    from wss_spark.extraction.parse_page import extract_user_hits, parse_pages
+    from wss_spark.synth import Target, build_usersearch_pages_df
+
+    mapping = extract_user_hits(
+        parse_pages(build_usersearch_pages_df(spark, _N_SEARCH_TARGETS, seed=42))
+    )
+    names = spark.createDataFrame(
+        [(Target(42, t).user_name,) for t in range(_N_SEARCH_TARGETS)],
+        "user_name string",
+    )
+    return add_user_links(names, mapping).select("user_name", "user_link", "finish")
+
+
+QUERIES["name_uid_resolution"].sql = _values_table(
+    _name_uid_expected(),
+    [("user_name", "VARCHAR"), ("user_link", "VARCHAR"), ("finish", "BOOLEAN")],
+)
+
+
+_ANCHOR_SQL = "TIMESTAMP '2025-10-29 12:00:00'"
+
+
+def _likes_sql() -> str:
+    from wss_spark.api_ingest import like_payload_rows
+
+    payloads = _values_table(
+        [(w, p, pl) for w, p, pl in like_payload_rows(12, 42)],
+        [("wid", "VARCHAR"), ("page", "INTEGER"), ("payload", "VARCHAR")],
+    )
+    item = "'$.data.data[' || i || ']'"
+    raw = f"json_extract_string(payload, {item} || '.created_at')"
+    return rf"""
+    WITH p AS ({payloads}),
+    items AS (
+      SELECT wid, page, CAST(i AS INT) AS like_index,
+             CAST(json_extract_string(payload, {item} || '.id') AS BIGINT) AS lid,
+             {raw} AS raw,
+             json_extract_string(payload, {item} || '.source') AS source,
+             json_extract_string(payload, {item} || '.user.screen_name') AS user_name,
+             json_extract_string(payload, {item} || '.user.id') AS uid_s,
+             CAST(json_extract_string(payload, {item} || '.user.verified_type') AS INTEGER)
+                 AS user_verified_type
+      FROM p CROSS JOIN (SELECT unnest(range(0, 16)) AS i) AS g
+      WHERE i < CAST(json_array_length(payload, '$.data.data') AS INT)
+    ),
+    t AS (
+      SELECT *,
+             lpad(regexp_extract(raw, '^(\d{{1,2}})月', 1), 2, '0') AS mon,
+             lpad(regexp_extract(raw, '月(\d{{1,2}})日', 1), 2, '0') AS dy,
+             regexp_extract(raw, '日(.*)$', 1) AS rest
+      FROM items
+    )
+    SELECT wid, page, like_index, lid,
+           CASE
+             WHEN raw LIKE '%刚刚%' THEN strftime({_ANCHOR_SQL}, '%Y-%m-%d %H:%M')
+             WHEN raw LIKE '%分钟%' THEN strftime({_ANCHOR_SQL}
+                  - to_minutes(CAST(regexp_extract(raw, '^(\d+)分钟', 1) AS INT)),
+                  '%Y-%m-%d %H:%M')
+             WHEN raw LIKE '%小时%' THEN strftime({_ANCHOR_SQL}
+                  - to_hours(CAST(regexp_extract(raw, '^(\d+)小时', 1) AS INT)),
+                  '%Y-%m-%d %H:%M')
+             WHEN raw LIKE '%今天%' THEN strftime({_ANCHOR_SQL}, '%Y-%m-%d')
+                  || ' ' || substr(raw, 4)
+             WHEN raw LIKE '%月%' THEN strftime({_ANCHOR_SQL}, '%Y') || '-' || mon
+                  || '-' || dy || ' '
+                  || substr(mon || '月' || dy || '日' || rest, 8, 5)
+             ELSE substr(raw, 1, 16)
+           END AS publish_time,
+           user_name, 'https://weibo.com/u/' || uid_s AS user_link,
+           source, user_verified_type
+    FROM t
+    """
+
+
+@_q("likes_extract", _likes_sql())
+def likes_extract(spark, sf):
+    """Like-page API family (`独立版/WeiboLikeSpider.py:167-196`): stored
+    /api/attitudes/show payloads → like rows; publish_time through the
+    zero-padding sliced parser (`:24-54`) as a JVM when-chain. The oracle
+    re-parses the SAME payload strings with DuckDB's JSON functions and
+    replays the padding math in SQL — fully independent of Spark."""
+    from wss_spark.api_ingest import parse_like_payloads, synth_like_payloads
+
+    return parse_like_payloads(synth_like_payloads(spark, 12, seed=42))
+
+
+@_q(
+    "topic_window_urls",
+    """
+    SELECT strftime(day, '%Y-%m-%d') AS window_day,
+           strftime(day - to_hours(8), '%Y-%m-%d-%H') AS starttime,
+           strftime(day - to_hours(7), '%Y-%m-%d-%H') AS endtime,
+           'https://weibo.cn/search/mblog?keyword=S10&advancedfilter=1&starttime='
+             || strftime(day - to_hours(8), '%Y-%m-%d-%H')
+             || '&endtime=' || strftime(day - to_hours(7), '%Y-%m-%d-%H')
+             || '&sort=time&page=1' AS url
+    FROM generate_series(TIMESTAMP '2020-10-01', TIMESTAMP '2020-10-31',
+                         INTERVAL 1 DAY) AS t(day)
+    """,
+)
+def topic_window_urls(spark, sf):
+    """F17/F12 — advanced-search time-window partitioning
+    (`独立版/WeiboTopicScrapy.py:65-66,438-446,505-512`): GMT+8 boundary
+    shifts as JVM INTERVAL arithmetic."""
+    from wss_spark.crawl.discover import search_window_urls
+
+    return search_window_urls(spark, "S10", "2020-10-1-0", "2020-10-31-0")
+
+
+# ===========================================================================
 # engine-native queries (not SQL-expressible → rows-only checks)
 # ===========================================================================
 
@@ -1148,14 +1587,43 @@ def crawl_fetch_log(spark, sf):
     )
 
 
+def _comments_expected() -> list[tuple]:
+    from wss_spark.synth import expected_comment_rows
+
+    return [
+        (
+            r["root_wid"], r["page"], r["block_index"], r["comment_id"],
+            r["commenter_id"], r["commenter_name"], r["content"],
+            r["like_count"], r["publish_time"],
+        )
+        for r in expected_comment_rows(12, 42)
+    ]
+
+
 @_q("extract_entities_comments", None)
 def extract_entities_comments(spark, sf):
-    """html→typed comment rows through the vectorized extraction UDF."""
+    """html→typed comment rows through the vectorized extraction UDF;
+    record-level replay oracle (hot-dup draws, overlap rows, block indices
+    all re-derived from the synthetic model without HTML)."""
     from wss_spark.extraction.parse_page import extract_comments, parse_pages
     from wss_spark.synth import build_pages_df
 
     pages = build_pages_df(spark, 12, seed=42)
-    return extract_comments(parse_pages(pages))
+    return extract_comments(parse_pages(pages)).select(
+        "root_wid", "page", "block_index", "comment_id", "commenter_id",
+        "commenter_name", "content", "like_count", "publish_time",
+    )
+
+
+QUERIES["extract_entities_comments"].sql = _values_table(
+    _comments_expected(),
+    [
+        ("root_wid", "VARCHAR"), ("page", "INTEGER"), ("block_index", "INTEGER"),
+        ("comment_id", "VARCHAR"), ("commenter_id", "VARCHAR"),
+        ("commenter_name", "VARCHAR"), ("content", "VARCHAR"),
+        ("like_count", "INTEGER"), ("publish_time", "VARCHAR"),
+    ],
+)
 
 
 @_q("timeline_extract", None)
@@ -1169,32 +1637,158 @@ def timeline_extract(spark, sf):
     return extract_timeline(parse_pages(build_timeline_pages_df(spark, 10, seed=42)))
 
 
-@_q("api_topic_cards", None)
+def _strip_tags_sql(x: str) -> str:
+    """DuckDB replay of api_ingest.strip_html_tags (F15), same op order."""
+    e = rf"regexp_replace({x}, '<br\s*/?>', chr(10), 'g')"
+    e = f"regexp_replace({e}, '<[^>]+>', '', 'g')"
+    for ent, ch in (("&quot;", '"'), ("&#39;", "''"), ("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")):
+        e = f"replace({e}, '{ent}', '{ch}')"
+    return rf"trim(regexp_replace({e}, '[ \t]+', ' ', 'g'))"
+
+
+def _api_time_sql(x: str) -> str:
+    """DuckDB replay of times.parse_api_time (F2): the +0800 wall clock is
+    kept verbatim, so parse minus day-of-week and offset."""
+    cleaned = rf"regexp_replace(regexp_replace({x}, '^[A-Za-z]{{3}}\s+', ''), ' \+\d{{4}}', '')"
+    return f"strftime(strptime({cleaned}, '%b %d %H:%M:%S %Y'), '%Y-%m-%d %H:%M:%S')"
+
+
+def _topic_payloads_values(n: int) -> str:
+    from wss_spark.api_ingest import topic_payload_rows
+
+    return _values_table(
+        topic_payload_rows(n, 42),
+        [("page", "INTEGER"), ("page_title", "VARCHAR"), ("payload", "VARCHAR")],
+    )
+
+
+def _api_topic_cards_sql() -> str:
+    return f"""
+    WITH p AS ({_topic_payloads_values(20)}),
+    ok AS (SELECT * FROM p WHERE CAST(json_extract_string(payload, '$.ok') AS INT) = 1),
+    cards AS (
+      SELECT payload, CAST(i AS INT) AS card_index,
+             '$.data.cards[' || i || ']' AS cp,
+             json_extract_string(payload, '$.data.cardlistInfo.since_id') AS since_id
+      FROM ok CROSS JOIN (SELECT unnest(range(0, 16)) AS i) AS g
+      WHERE i < CAST(json_array_length(payload, '$.data.cards') AS INT)
+    ),
+    m AS (
+      SELECT card_index, since_id,
+             CAST(json_extract_string(payload, cp || '.card_type') AS INT) AS card_type,
+             json_extract(payload, cp || '.card_group') AS cg,
+             json_extract(payload, cp || '.mblog') AS mb_direct,
+             COALESCE(json_extract(payload, cp || '.mblog'),
+                      json_extract(payload, cp || '.card_group[0].mblog')) AS mb
+      FROM cards
+    )
+    SELECT json_extract_string(mb, '$.id') AS wid,
+           json_extract_string(mb, '$.user.screen_name') AS user_name,
+           CAST(json_extract_string(mb, '$.user.id') AS BIGINT) AS user_id,
+           json_extract_string(mb, '$.user.gender') AS gender,
+           {_api_time_sql("json_extract_string(mb, '$.created_at')")} AS publish_time,
+           {_strip_tags_sql("json_extract_string(mb, '$.text')")} AS text,
+           CAST(json_extract_string(mb, '$.attitudes_count') AS INTEGER) AS like_count,
+           CAST(json_extract_string(mb, '$.comments_count') AS INTEGER) AS comment_count,
+           CAST(json_extract_string(mb, '$.reposts_count') AS INTEGER) AS forward_count,
+           CAST(json_extract_string(mb, '$.isLongText') AS BOOLEAN) AS is_long_text,
+           card_index, since_id
+    FROM m
+    WHERE card_type NOT IN (7, 8)
+      AND NOT (card_type = 11 AND cg IS NULL AND mb_direct IS NULL)
+      AND mb IS NOT NULL
+    """
+
+
+@_q("api_topic_cards", _api_topic_cards_sql())
 def api_topic_cards(spark, sf):
     """S3/P4/F2/F15: stored mobile-API JSON payloads → topic rows via
-    from_json + card-type filtering (`独立版/WeiboCnTopicSpiderWithoutCookie.py`)."""
+    from_json + card-type filtering (`独立版/WeiboCnTopicSpiderWithoutCookie.py`).
+    The oracle re-parses the SAME payload strings with DuckDB JSON functions
+    and replays the tag-strip + +0800 wall-clock time math in SQL."""
     from wss_spark.api_ingest import parse_topic_payloads, synth_topic_payloads
 
     return parse_topic_payloads(synth_topic_payloads(spark, 20, seed=42))
 
 
-@_q("api_user_actions", None)
+def _api_user_actions_sql() -> str:
+    strip_t = _strip_tags_sql("json_extract_string(mb, '$.text')")
+    strip_rt = _strip_tags_sql("json_extract_string(mb, '$.retweeted_status.text')")
+    return f"""
+    WITH p AS ({_topic_payloads_values(15)}),
+    cards AS (
+      SELECT page_title, payload, CAST(i AS INT) AS card_index,
+             json_extract(payload, '$.data.cards[' || i || '].mblog') AS mb
+      FROM p CROSS JOIN (SELECT unnest(range(0, 16)) AS i) AS g
+      WHERE i < CAST(json_array_length(payload, '$.data.cards') AS INT)
+    )
+    SELECT CASE WHEN page_title LIKE '%评论过%' THEN 'commented'
+                WHEN page_title LIKE '%赞过%' THEN 'praised'
+                ELSE 'reposted' END AS typ,
+           json_extract_string(mb, '$.mid') AS mid,
+           {_api_time_sql("json_extract_string(mb, '$.created_at')")} AS publish_time,
+           json_extract_string(mb, '$.user.id') AS uid,
+           json_extract_string(mb, '$.user.screen_name') AS screen_name,
+           CASE WHEN json_extract(mb, '$.retweeted_status') IS NOT NULL
+                THEN {strip_t} || chr(10) || '原始用户: '
+                     || COALESCE(json_extract_string(mb, '$.retweeted_status.user.screen_name'), '已删除')
+                     || chr(10) || '转发内容: ' || {strip_rt}
+                ELSE {strip_t} END AS text,
+           CAST(json_extract_string(mb, '$.reposts_count') AS INTEGER) AS reposts_count,
+           CAST(json_extract_string(mb, '$.comments_count') AS INTEGER) AS comments_count,
+           CAST(json_extract_string(mb, '$.attitudes_count') AS INTEGER) AS attitudes_count,
+           card_index
+    FROM cards WHERE mb IS NOT NULL
+    """
+
+
+@_q("api_user_actions", _api_user_actions_sql())
 def api_user_actions(spark, sf):
     """P6/F8: commented/praised/reposted classification + retweet assembly
-    (`独立版/CommentedWeiboSpider.py:114-134`)."""
+    (`独立版/CommentedWeiboSpider.py:114-134`); DuckDB-JSON replay oracle."""
     from wss_spark.api_ingest import classify_user_actions, synth_topic_payloads
 
     return classify_user_actions(synth_topic_payloads(spark, 15, seed=42))
 
 
+def _media_expected() -> list[tuple]:
+    import hashlib
+
+    from wss_spark.operators.multimodal import fake_decode_image
+
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(300):
+        payload = hashlib.sha256(f"42:{i}".encode()).digest() * (4 + i % 9)
+        feat = fake_decode_image(payload, 16)
+        fh = int.from_bytes(
+            hashlib.sha256(",".join(f"{x:.6f}" for x in feat).encode()).digest()[:8],
+            "big", signed=True,
+        )
+        rows.append(
+            (i, kinds[i % 3], len(payload), hashlib.sha256(payload).hexdigest(), 16, fh)
+        )
+    return rows
+
+
 @_q("media_features", None)
 def media_features(spark, sf):
     """Multimodal plumbing: opaque binary payloads → deterministic features
-    via Arrow-batched mapInPandas (decoder stubbed; see operators.multimodal)."""
+    via Arrow-batched mapInPandas (decoder stubbed; see operators.multimodal);
+    record-level replay oracle over the same payload model."""
     from wss_spark.operators import multimodal
 
     media = multimodal.synth_media_df(spark, 300, seed=42)
     return multimodal.extract_features(media)
+
+
+QUERIES["media_features"].sql = _values_table(
+    _media_expected(),
+    [
+        ("media_id", "BIGINT"), ("kind", "VARCHAR"), ("payload_bytes", "INTEGER"),
+        ("content_sha", "VARCHAR"), ("feat_dim", "INTEGER"), ("feature_hash", "BIGINT"),
+    ],
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -13,6 +13,12 @@ program order:
   stage 3  comment pages 2..N                (S4,     `:328-341`)
   stage 4  repost pages 1.. until empty      (S5/S6,  `:444-456,529-531`)
   stage 5  author /{uid}/info profile page   (J1 dim, `WeiboCommentScrapy.py:102-120`)
+  stage 6  search result page k+1 until empty (S6, `WeiboTopicScrapy.py:454-457`)
+  stage 7  hotflow max_id cursor continuation (S5, `WeiboSuperCommentScrapy.py:375-389`)
+
+Search hits also feed stage 2 (their picAll albums) and stage 5 (their
+publishers' info pages — the J2 dim, replacing the reference's per-hit
+publisher fetch `WeiboTopicScrapy.py:332-349`).
 
 Everything here is JVM-side Column expressions over the tall PARSED frame —
 no Python in the loop. Comment pages are discovered all-at-once from the
@@ -44,115 +50,151 @@ def _finish(df: DataFrame) -> DataFrame:
     )
 
 
-def discover(parsed: DataFrame, fetched: DataFrame) -> DataFrame:
-    """New frontier candidates from one wave's parse results.
+_CAND_T = "array<struct<stage:int,page:int,url:string>>"
 
-    ``parsed``: tall PARSED rows of this wave. ``fetched``: the admitted
-    frontier rows that produced them (carries seed_order/priority per url).
+
+def _cand(stage: int, page, url) -> F.Column:
+    return F.struct(
+        F.lit(stage).cast("int").alias("stage"),
+        (F.lit(page) if isinstance(page, int) else page).cast("int").alias("page"),
+        url.alias("url"),
+    )
+
+
+def _abs_href(href: F.Column, base_host: F.Column) -> F.Column:
+    return F.when(href.startswith("http"), href).otherwise(
+        F.concat(F.lit("https://"), base_host, href)
+    )
+
+
+def discover(parsed: DataFrame) -> DataFrame:
+    """New frontier candidates from one wave's parse results — ONE pass.
+
+    ``parsed``: tall PARSED rows of this wave, carrying frontier lineage
+    (``seed_order``, ``priority``, ``_src_page``) as extraction passthrough
+    columns. Every discovery rule is a conditional element of a per-row
+    candidate array, so the whole expansion is a single scan of the persisted
+    parsed frame + one explode. (The r01 design unioned ~10 filter branches,
+    each re-scanning — and originally re-joining — the wave's parse output;
+    at bulk-drain scale that multiplied the wave's dominant cost.)
     """
-    lineage = fetched.select(
-        F.col("url").alias("_src_url"), "seed_order", "priority"
-    )
-    p = parsed.join(lineage, parsed["url"] == lineage["_src_url"], "inner")
     base_host = host_of(F.col("url"))
+    kind = F.col("kind")
+    null_c = F.lit(None).cast("struct<stage:int,page:int,url:string>")
 
-    weibo = p.filter(F.col("kind") == "weibo")
+    # --- weibo rows: fulltext (1), album (2), comment pages (3), repost
+    # page 1 (4), author info (5)
+    weibo_fixed = F.array(
+        F.when(F.col("fulltext_href").isNotNull(),
+               _cand(1, 1, _abs_href(F.col("fulltext_href"), base_host))).otherwise(null_c),
+        F.when(F.col("album_href").isNotNull(),
+               _cand(2, 1, _abs_href(F.col("album_href"), base_host))).otherwise(null_c),
+        _cand(4, 1, F.format_string("https://%s/repost/%s?page=1", base_host, F.col("root_id"))),
+        F.when(F.col("user_id").isNotNull(),
+               _cand(5, 1, F.format_string("https://%s/%s/info", base_host, F.col("user_id")))).otherwise(null_c),
+    )
+    comment_pages = F.when(
+        F.col("total_comment_pages") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.col("total_comment_pages")),
+            lambda pg: _cand(
+                3, pg,
+                F.format_string("https://%s/comment/%s?page=%d", base_host, F.col("root_id"), pg),
+            ),
+        ),
+    ).otherwise(F.array().cast(_CAND_T))
 
-    # stage 1: full-text page (href may be host-relative)
-    fulltext = (
-        weibo.filter(F.col("fulltext_href").isNotNull())
+    # --- page rows: repost continuation (4), search next page (6), hotflow
+    # cursor continuation (7)
+    is_repost_page = F.col("url").rlike(r"^https?://[^/]+/repost/")
+    is_search_page = F.col("url").rlike(r"^https?://[^/]+/search/mblog\?")
+    is_hotflow_page = F.col("url").rlike(r"^https?://[^/]+/comments/hotflow\?")
+    page_cands = F.array(
+        F.when(is_repost_page & (F.col("n_blocks") > 0),
+               _cand(4, F.col("page") + 1,
+                     F.format_string("https://%s/repost/%s?page=%d",
+                                     base_host, F.col("root_id"), F.col("page") + F.lit(1)))).otherwise(null_c),
+        F.when(is_search_page & (F.col("n_blocks") > 0),
+               _cand(6, F.col("page") + 1,
+                     F.format_string("https://%s/search/mblog?keyword=%s&page=%d",
+                                     base_host, F.col("root_id"), F.col("page") + F.lit(1)))).otherwise(null_c),
+        F.when(is_hotflow_page & F.col("cursor").isNotNull() & (F.col("cursor") != "0"),
+               _cand(7, F.col("_src_page") + 1,
+                     F.format_string("https://%s/comments/hotflow?id=%s&mid=%s&max_id=%s&max_id_type=0",
+                                     base_host, F.col("root_id"), F.col("root_id"), F.col("cursor")))).otherwise(null_c),
+    )
+
+    # --- search-hit rows: hit album (2), publisher info page (5, host from
+    # the publisher href — the J2 dim source)
+    search_cands = F.array(
+        F.when(F.col("album_href").isNotNull(),
+               _cand(2, 1, _abs_href(F.col("album_href"), base_host))).otherwise(null_c),
+        F.when(F.col("user_id").isNotNull() & F.col("publisher_href").isNotNull(),
+               _cand(5, 1, F.format_string("https://%s/%s/info",
+                                           host_of(F.col("publisher_href")), F.col("user_id")))).otherwise(null_c),
+    )
+
+    cands = (
+        F.when(kind == "weibo", F.concat(weibo_fixed, comment_pages))
+        .when(kind == "page", page_cands)
+        .when(kind == "search", search_cands)
+        .otherwise(F.array().cast(_CAND_T))
+    )
+    out = (
+        parsed.select(
+            "seed_order", "priority",
+            F.explode(F.filter(cands, lambda c: c.isNotNull())).alias("c"),
+        )
         .select(
-            F.when(
-                F.col("fulltext_href").startswith("http"), F.col("fulltext_href")
-            )
-            .otherwise(F.concat(F.lit("https://"), base_host, F.col("fulltext_href")))
-            .alias("url"),
+            F.col("c.url").alias("url"),
             "seed_order",
-            F.lit(1).alias("stage"),
-            F.lit(1).alias("page"),
+            F.col("c.stage").alias("stage"),
+            F.col("c.page").alias("page"),
             "priority",
         )
     )
-
-    # stage 2: album page
-    album = (
-        weibo.filter(F.col("album_href").isNotNull())
-        .select(
-            F.when(F.col("album_href").startswith("http"), F.col("album_href"))
-            .otherwise(F.concat(F.lit("https://"), base_host, F.col("album_href")))
-            .alias("url"),
-            "seed_order",
-            F.lit(2).alias("stage"),
-            F.lit(1).alias("page"),
-            "priority",
-        )
-    )
-
-    # stage 3: comment pages 2..N, all at once from the page count
-    comment_pages = (
-        weibo.filter(F.col("total_comment_pages") >= 2)
-        .select(
-            F.explode(F.sequence(F.lit(2), F.col("total_comment_pages"))).alias("p"),
-            F.col("root_id"),
-            base_host.alias("h"),
-            "seed_order",
-            "priority",
-        )
-        .select(
-            F.format_string("https://%s/comment/%s?page=%d", "h", "root_id", "p").alias("url"),
-            "seed_order",
-            F.lit(3).alias("stage"),
-            F.col("p").alias("page"),
-            "priority",
-        )
-    )
-
-    # stage 4 seed: repost page 1 (unconditional, `独立版/WeiboDeepAnalyzer.py:444`)
-    repost1 = weibo.select(
-        F.format_string(
-            "https://%s/repost/%s?page=1", base_host, F.col("root_id")
-        ).alias("url"),
-        "seed_order",
-        F.lit(4).alias("stage"),
-        F.lit(1).alias("page"),
-        "priority",
-    )
-
-    # stage 4 continuation: page k+1 iff page k had repost blocks (S6)
-    page_rows = p.filter(F.col("kind") == "page")
-    repost_next = (
-        page_rows.filter(
-            F.col("url").rlike(r"^https?://[^/]+/repost/") & (F.col("n_blocks") > 0)
-        )
-        .select(
-            F.format_string(
-                "https://%s/repost/%s?page=%d",
-                base_host,
-                F.col("root_id"),
-                F.col("page") + F.lit(1),
-            ).alias("url"),
-            "seed_order",
-            F.lit(4).alias("stage"),
-            (F.col("page") + 1).alias("page"),
-            "priority",
-        )
-    )
-
-    # stage 5: author profile page
-    info = (
-        weibo.filter(F.col("user_id").isNotNull())
-        .select(
-            F.format_string("https://%s/%s/info", base_host, F.col("user_id")).alias("url"),
-            "seed_order",
-            F.lit(5).alias("stage"),
-            F.lit(1).alias("page"),
-            "priority",
-        )
-    )
-
-    out = fulltext.unionByName(album).unionByName(comment_pages)
-    out = out.unionByName(repost1).unionByName(repost_next).unionByName(info)
     return _finish(out)
+
+
+def search_window_urls(spark, keyword: str, start_time: str, end_time: str,
+                       host: str = "weibo.cn") -> DataFrame:
+    """F17/F12 — advanced-search URL partitioning over a time range: one
+    day-sliced window per row, with the topic spider's GMT+8 boundary shifts
+    (start −8 h; end −1 day −7 h; `独立版/WeiboTopicScrapy.py:65-66,505-512`)
+    applied as JVM INTERVAL arithmetic, and the advancedfilter URL of
+    `:438-446`. Inputs are the spider's 'YYYY-mm-dd-HH' strings.
+
+    A 30-year crawl window is only ~11 k rows — the windows frame broadcasts
+    and each window seeds its own scan-until-empty search chain (stage 6).
+    """
+    to_ts = lambda s: F.to_timestamp(F.lit(s), "yyyy-M-d-H")  # noqa: E731
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("DAY", to_ts(start_time)),
+                F.date_trunc("DAY", to_ts(end_time)),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    fmt = "yyyy-MM-dd-HH"
+    win_start = F.date_format(
+        F.col("day") + F.expr("INTERVAL -8 HOURS"), fmt
+    )
+    win_end = F.date_format(
+        F.col("day") + F.expr("INTERVAL 1 DAY") + F.expr("INTERVAL -1 DAY -7 HOURS"),
+        fmt,
+    )
+    return days.select(
+        F.date_format("day", "yyyy-MM-dd").alias("window_day"),
+        win_start.alias("starttime"),
+        win_end.alias("endtime"),
+        F.format_string(
+            "https://%s/search/mblog?keyword=%s&advancedfilter=1"
+            "&starttime=%s&endtime=%s&sort=time&page=1",
+            F.lit(host), F.lit(keyword), win_start, win_end,
+        ).alias("url"),
+    )
 
 
 def seeds_to_frontier(spark, seed_urls: list[str], priority: float = 0.0) -> DataFrame:

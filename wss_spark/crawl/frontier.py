@@ -110,8 +110,24 @@ def run_crawl(
 
     # fetch target: exact url → html (the reference fetches literal urls;
     # canonicalization exists only for the seen set, where /comment/W and
-    # /comment/W?page=1 are the same resource)
-    pages_idx = pages.select("url", "html").dropDuplicates(["url"]).persist()
+    # /comment/W?page=1 are the same resource).
+    # Explicitly hash-partition by url BEFORE persisting: the html payload
+    # (the heavy bytes) is shuffled exactly once here, and every wave's
+    # fetch join then satisfies its distribution from the cache — only the
+    # narrow frontier side moves per wave. This is the single-box stand-in
+    # for a url-bucketed Iceberg pages table on a cluster.
+    # Explicitly hash-partition by url BEFORE persisting: the html payload
+    # (the heavy bytes) is shuffled exactly once here, and every wave's
+    # fetch join then satisfies its distribution from the cache — only the
+    # narrow frontier side moves per wave. This is the single-box stand-in
+    # for a url-bucketed Iceberg pages table on a cluster.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pages_idx = (
+        pages.select("url", "html")
+        .repartition(n_part, "url")
+        .dropDuplicates(["url"])
+        .persist()
+    )
 
     snap = checkpoint.latest_snapshot(root) if resume else None
     if snap is not None:
@@ -137,6 +153,15 @@ def run_crawl(
         n_frontier = frontier.count()
         if n_frontier == 0:
             break
+
+        phase_t: dict[str, float] = {}
+
+        def _mark(name: str, since: list) -> None:
+            now_t = time.time()
+            phase_t[name] = round(now_t - since[0], 3)
+            since[0] = now_t
+
+        _since = [t0]
 
         # 1. in-wave dedup + salted hash/bucket columns
         cand = bloom.with_hash_cols(
@@ -169,22 +194,57 @@ def run_crawl(
             admitted, deferred = split_by_budget(allowed, cfg.budget, cfg.n_salts)
         admitted = admitted.persist()
         n_admitted = admitted.count()
+        _mark("admit", _since)
 
-        # 5. "fetch": join against the pages table; record per-partition lineage
+        # 5. "fetch": join against the url-partitioned pages cache. The html
+        # payload join runs ONCE per wave — extraction consumes it directly,
+        # and the fetch log below derives fetch status from the (narrow,
+        # persisted) parsed frame instead of re-executing the heavy join.
         fetched = admitted.join(pages_idx, on="url", how="left")
-        fetch_log = fetched.select(
-            "url",
-            "canon_url",
-            "host",
-            "seed_order",
-            "stage",
-            "page",
-            "priority",
-            F.lit(wave).alias("wave"),
-            F.col("host_rank").alias("rank_in_wave"),
-            F.when(F.col("html").isNotNull(), F.lit(200)).otherwise(F.lit(404)).alias("status"),
-            F.lit(cfg.now).alias("fetched_at"),
-            F.spark_partition_id().alias("partition_id"),
+
+        # 6. extract (one Arrow pass over this wave's pages). Frontier
+        # lineage (seed_order/priority/page) rides THROUGH the Arrow pass as
+        # passthrough columns so discover() never joins parsed back to the
+        # frontier — the r01 design re-executed that shuffle join once per
+        # union branch of the discovery plan.
+        ok = fetched.filter(F.col("html").isNotNull()).select(
+            "url", "html", "seed_order", "priority", F.col("page").alias("_src_page")
+        )
+        parsed = parse_pages(
+            ok, cfg.now, passthrough=["seed_order", "priority", "_src_page"]
+        ).persist()
+        # materialize the extraction cache EAGERLY: discover() fans out into
+        # ~10 union branches over `parsed`, and racing legs of one job can
+        # each recompute partitions before the lazy cache lands — the Arrow
+        # extraction (the wave's dominant cost) must run exactly once.
+        parsed.count()
+        _mark("extract", _since)
+        if cfg.defer_logs:
+            entity_parts.append(parsed)
+        else:
+            checkpoint.write_log(root, "entities", wave, parsed)
+
+        # fetch log: every parsed url has exactly one kind='page' row, so a
+        # narrow cached-to-cached join yields status without touching html
+        fetched_urls = parsed.filter(F.col("kind") == "page").select(
+            "url", F.lit(200).alias("_status")
+        )
+        fetch_log = (
+            admitted.join(fetched_urls, on="url", how="left")
+            .select(
+                "url",
+                "canon_url",
+                "host",
+                "seed_order",
+                "stage",
+                "page",
+                "priority",
+                F.lit(wave).alias("wave"),
+                F.col("host_rank").alias("rank_in_wave"),
+                F.coalesce(F.col("_status"), F.lit(404)).alias("status"),
+                F.lit(cfg.now).alias("fetched_at"),
+                F.spark_partition_id().alias("partition_id"),
+            )
         )
         if blocked is not None:
             fetch_log = fetch_log.unionByName(
@@ -201,14 +261,6 @@ def run_crawl(
         else:
             checkpoint.write_log(root, "fetch_log", wave, fetch_log)
 
-        # 6. extract (one Arrow pass over this wave's pages)
-        ok = fetched.filter(F.col("html").isNotNull()).select("url", "html")
-        parsed = parse_pages(ok, cfg.now).persist()
-        if cfg.defer_logs:
-            entity_parts.append(parsed)
-        else:
-            checkpoint.write_log(root, "entities", wave, parsed)
-
         # 7. state update: seen ∪ admitted ∪ blocked; bloom OR-in
         newly_seen = admitted.select("bucket", "url_hash", "canon_url")
         if blocked is not None:
@@ -219,7 +271,7 @@ def run_crawl(
         bloom_next = bloom.update(bloom_state, newly_seen, cfg.m_bits, cfg.bloom_k)
 
         # 8. discover next wave; deferred rows re-enter unchanged
-        next_frontier = discover(parsed, admitted)
+        next_frontier = discover(parsed)
         if deferred is not None:
             next_frontier = deferred.select(
                 *[f.name for f in frontier.schema.fields]
@@ -244,6 +296,7 @@ def run_crawl(
             seen_next = seen_next.localCheckpoint(eager=True)
             bloom_next = bloom_next.localCheckpoint(eager=True)
         last_committed = wave
+        _mark("discover_state", _since)
 
         metrics.append(
             {
@@ -251,6 +304,7 @@ def run_crawl(
                 "n_frontier": int(n_frontier),
                 "n_admitted": int(n_admitted),
                 "wall_s": time.time() - t0,
+                "phases": phase_t,
             }
         )
 

@@ -39,11 +39,18 @@ def _host(url: str) -> str:
     return _HOST.match(url).group(1)
 
 
-def _discover(url: str, html: bytes, now: datetime) -> list[tuple[int, int, str]]:
+def _discover(url: str, html: bytes, now: datetime,
+              frontier_page: int = 1) -> list[tuple[int, int, str]]:
     """(stage, page, url) children of one fetched page — the reference's
-    program-order expansion, same rules as crawl.discover."""
+    program-order expansion, same rules as crawl.discover.
+
+    ``frontier_page`` is the fetched row's own frontier page: hotflow cursor
+    URLs don't carry a page number, so the chain depth lives in the frontier
+    (mirrors discover()'s ``_src_page + 1``)."""
     root = kernel.parse_html(html)
     kind, rid, page = kernel.classify_url(url)
+    if kind == "api_comments":
+        page = frontier_page
     host = _host(url)
     out: list[tuple[int, int, str]] = []
     if kind == "comment" and page == 1:
@@ -67,6 +74,26 @@ def _discover(url: str, html: bytes, now: datetime) -> list[tuple[int, int, str]
     elif kind == "repost":
         if kernel.extract_reposts_from_page(root, now):
             out.append((4, page + 1, f"https://{host}/repost/{rid}?page={page + 1}"))
+    elif kind == "search":
+        hits = kernel.extract_search_from_page(root, now)
+        for h in hits:
+            if h["album_href"]:
+                href = h["album_href"]
+                if not href.startswith("http"):
+                    href = f"https://{host}{href}"
+                out.append((2, 1, href))
+            if h["publisher_uid"] and h["publisher_href"]:
+                phost = _host(h["publisher_href"])
+                out.append((5, 1, f"https://{phost}/{h['publisher_uid']}/info"))
+        if hits:
+            out.append((6, page + 1,
+                        f"https://{host}/search/mblog?keyword={rid}&page={page + 1}"))
+    elif kind == "api_comments":
+        cur = kernel.parse_api_comments(html)["max_id"]
+        if cur is not None and cur != "0":
+            out.append((7, page + 1,
+                        f"https://{host}/comments/hotflow?id={rid}&mid={rid}"
+                        f"&max_id={cur}&max_id_type=0"))
     return out
 
 
@@ -128,7 +155,7 @@ def simulate(
             html = pages.get(url)
             if html is None:
                 continue
-            for cstage, cpage, curl in _discover(url, html, now):
+            for cstage, cpage, curl in _discover(url, html, now, frontier_page=page):
                 nxt.append((prio, seed_order, cstage, cpage, canonicalize(curl), curl))
         frontier = deferred + nxt
         if not admitted and deferred:

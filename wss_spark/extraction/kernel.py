@@ -20,7 +20,6 @@ tests against the oracle ``text`` column of the synthetic pages table.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
 from datetime import datetime, timedelta
 
 # Fixed "now" anchor replacing the reference's wall-clock ``datetime.now()``
@@ -38,6 +37,8 @@ _VOID = {"br", "img", "input", "hr", "meta", "link"}
 
 
 def _unescape(s: str) -> str:
+    if "&" not in s:  # fast path: most text nodes carry no entities
+        return s
     return (
         s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", '"').replace("&#39;", "'").replace("&amp;", "&")
     )
@@ -47,11 +48,18 @@ def escape(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
-@dataclass
 class Node:
-    tag: str
-    attrs: dict[str, str] = field(default_factory=dict)
-    children: list = field(default_factory=list)  # Node | str
+    """Element node. Hand-rolled ``__slots__`` class (not a dataclass): the
+    extraction stage allocates tens of Nodes per page at millions of pages —
+    dropping the per-instance ``__dict__`` cuts allocation and cache traffic
+    in the memory-bandwidth-bound hot path."""
+
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict[str, str] | None = None):
+        self.tag = tag
+        self.attrs = {} if attrs is None else attrs
+        self.children: list = []  # Node | str
 
     # --- lxml-parity helpers -------------------------------------------------
     def string(self) -> str:
@@ -122,7 +130,10 @@ def parse_html(html: str | bytes | None) -> Node:
                     del stack[i:]
                     break
         else:
-            node = Node(tag, {k: _unescape(v) for k, v in _ATTR.findall(rawattrs)})
+            node = Node(
+                tag,
+                {k: _unescape(v) for k, v in _ATTR.findall(rawattrs)} if rawattrs else None,
+            )
             stack[-1].children.append(node)
             if not selfclose and tag not in _VOID:
                 stack.append(node)
@@ -184,6 +195,45 @@ def parse_time(time_str: str, now: datetime) -> str:
         return time_str
     except Exception:
         return time_str
+
+
+def parse_time_sliced(time_str: str, now: datetime, pad: bool = False,
+                      hour_branch: bool = True, split_source: bool = False) -> str:
+    """The reference's *slicing-based* time-parser family (distinct from the
+    regex-ish `WeiboDeepAnalyzer` variant in :func:`parse_time`):
+
+    - `独立版/WeiboLikeSpider.py:24-54` — ``pad=True, hour_branch=True``:
+      zero-pads ``8月5日`` → ``08月05日`` before fixed-position slicing
+    - `独立版/WeiboTopicScrapy.py:203-228` — ``pad=False, hour_branch=False,
+      split_source=True``: no 小时 branch, assumes already-padded input
+
+    Faithful quirks kept: NO ``.strip()`` anywhere (the DeepAnalyzer variant
+    strips, these don't — a ``来自``-suffixed input leaves a trailing space),
+    minute/hour taken by prefix slice not regex, time-of-day taken by
+    ``[7:12]`` so a missing HH:MM yields a trailing-space date.
+    """
+    s = time_str
+    if split_source:
+        s = s.split("来自")[0]
+    if "刚刚" in s:
+        return now.strftime("%Y-%m-%d %H:%M")
+    if "分钟" in s:
+        minute = int(s[: s.find("分钟")])
+        return (now - timedelta(minutes=minute)).strftime("%Y-%m-%d %H:%M")
+    if hour_branch and "小时" in s:
+        hour = int(s[: s.find("小时")])
+        return (now - timedelta(hours=hour)).strftime("%Y-%m-%d %H:%M")
+    if "今天" in s:
+        return now.strftime("%Y-%m-%d") + " " + s[3:]
+    if "月" in s:
+        if pad:
+            if s.index("月") == 1:
+                s = "0" + s
+            if s.index("日") == 4:
+                s = s[:3] + "0" + s[3:]
+        year = now.strftime("%Y")
+        return f"{year}-{s[0:2]}-{s[3:5]} {s[7:12]}"
+    return s[:16]
 
 
 _UID_ANY = re.compile(r"/(\d+)")
@@ -542,6 +592,186 @@ def extract_timeline_from_page(root: Node, now: datetime) -> list[dict]:
     return rows
 
 
+_ZWSP = "​"  # U+200B
+
+
+def _garbled(node: Node) -> str:
+    """`独立版/WeiboTopicScrapy.py:84-91` deal_garbled: ``string(.)`` minus
+    zero-width spaces — crucially NO whitespace collapse (unlike clean_text)."""
+    return node.string().replace(_ZWSP, "")
+
+
+def extract_search_from_page(root: Node, now: datetime) -> list[dict]:
+    """Topic-search result blocks ``div.c[@id]`` → rows, replaying
+    `独立版/WeiboTopicScrapy.py:352-386` (get_one_weibo) block by block:
+
+    - is_origin: ≤ 3 ``div/span.cmt`` (`:355`)
+    - publisher href: first ``div/a/@href`` (`:360`) — uid extracted here;
+      the per-hit publisher-page fetch (`:332-349`) becomes the J2 broadcast
+      join against the user dim in the engine
+    - original content (`:108-120`): zwsp-stripped ``string(.)`` cut at
+      ``rfind('赞')`` — keeps the ``name:`` prefix and trailing space, by
+      reference behavior
+    - retweet content (`:133-158`): ``[find(':')+1 : rfind('赞')]`` then a
+      second ``[:rfind('赞')]`` cut (drops the original's own counters);
+      reason = last div's text cut at ``rindex('赞')`` (keeps the
+      ``转发理由:`` marker); assembled ``reason\\n原始用户: X\\n转发内容: Y``
+    - publish place (`:174-196`): only when a ``显示地图`` place link exists;
+      last ``ctt`` anchor text, ``视频`` tail quirk included
+    - time (`:203-228`): the sliced parser variant WITHOUT an 小时 branch
+    - footer (`:246-268`): ``rfind('赞')`` then first three digit runs
+    - pictures (`:270-300`): report the picAll href (album J4 join); '无'
+      otherwise
+    """
+    rows: list[dict] = []
+    idx = 0
+    for block in root.iter():
+        if block.tag != "div" or block.attrs.get("class") != "c" or "id" not in block.attrs:
+            continue
+        wid = block.attrs["id"]
+        if wid.startswith("M_"):
+            wid = wid[2:]
+        divs = block.find_all("div", direct=True)
+        cmts = [s for d in divs for s in d.find_all("span", "cmt", direct=True)]
+        is_origin = len(cmts) <= 3
+
+        publisher_href = None
+        publisher_uid = None
+        for d in divs:
+            a = d.first("a", direct=True)
+            if a is not None:
+                publisher_href = a.attrs.get("href", "")
+                m = _UID_ANY.search(publisher_href)
+                if m:
+                    publisher_uid = m.group(1)
+                break
+
+        whole = _garbled(block)
+        if is_origin:
+            content = whole[: whole.rfind("赞")] if "赞" in whole else whole
+        else:
+            orig_user_nodes = [a for c in cmts for a in c.find_all("a")]
+            if not orig_user_nodes or not orig_user_nodes[0].own_text():
+                content = "转发微博已被删除"
+            else:
+                orig_user = orig_user_nodes[0].own_text()[0]
+                wb = whole[whole.find(":") + 1 :]
+                wb = wb[: wb.rfind("赞")] if "赞" in wb else wb
+                wb = wb[: wb.rfind("赞")] if "赞" in wb else wb
+                reason = _garbled(divs[-1]) if divs else ""
+                if "赞" in reason:
+                    reason = reason[: reason.rindex("赞")]
+                content = f"{reason}\n原始用户: {orig_user}\n转发内容: {wb}"
+
+        # publish place: div[0] needs a direct 显示地图 place link
+        place = "无"
+        if divs:
+            has_map = any(
+                "place.weibo.com" in a.attrs.get("href", "")
+                and "".join(a.own_text()) == "显示地图"
+                for a in divs[0].find_all("a", direct=True)
+            )
+            if has_map:
+                ctt0 = divs[0].first("span", "ctt")
+                if ctt0 is not None:
+                    ctt_as = ctt0.find_all("a")
+                    if ctt_as:
+                        cand = ctt_as[-1]
+                        texts = ["".join(a.own_text()) for a in ctt_as]
+                        if texts and texts[-1][-2:] == "视频":
+                            cand = ctt_as[-2] if len(ctt_as) >= 2 else None
+                        place = _garbled(cand) if cand is not None else "无"
+
+        publish_time = ""
+        publish_tool = "无"
+        ct = None
+        for d in divs:
+            ct = d.first("span", "ct", direct=True)
+            if ct is not None:
+                break
+        if ct is not None:
+            raw = _garbled(ct)
+            publish_time = parse_time_sliced(
+                raw, now, pad=False, hour_branch=False, split_source=True
+            )
+            if len(raw.split("来自")) > 1:
+                publish_tool = raw.split("来自")[1]
+
+        like, fwd, cmt_n = footer_triple(_garbled(divs[-1]) if divs else "")
+
+        album_href = None
+        for a in block.find_all("a"):
+            if "/mblog/picAll/" in a.attrs.get("href", ""):
+                album_href = a.attrs.get("href")
+                break
+
+        rows.append(
+            {
+                "block_index": idx,
+                "wid": wid,
+                "publisher_uid": publisher_uid,
+                "publisher_href": publisher_href,
+                "is_origin": is_origin,
+                "content": content,
+                "publish_place": place,
+                "publish_time": publish_time,
+                "publish_tool": publish_tool,
+                "like_count": like,
+                "forward_count": fwd,
+                "comment_count": cmt_n,
+                "album_href": album_href,
+            }
+        )
+        idx += 1
+    return rows
+
+
+def extract_article_text(root: Node) -> str:
+    """Article ``<p>`` text+image interleave, replaying
+    `独立版/WeiboComPostSpider.py:114-137` (parseDetail): for each ``<p>`` in
+    document order, append the FIRST descendant ``img/@src`` if any, then the
+    FIRST descendant text node if non-empty; newline-join."""
+    parts: list[str] = []
+    for p in root.iter():
+        if p.tag != "p":
+            continue
+        img = p.first("img")
+        if img is not None and img.attrs.get("src"):
+            parts.append(img.attrs["src"])
+        # lxml `.//text()` → first descendant text node in document order
+        first_text = None
+        stack = list(reversed(p.children))
+        while stack:
+            n = stack.pop()
+            if isinstance(n, str):
+                first_text = n
+                break
+            stack.extend(reversed(n.children))
+        if first_text:
+            parts.append(first_text)
+    return "\n".join(parts)
+
+
+def extract_first_user_hit(root: Node) -> str:
+    """User-search page → first hit's uid, replaying
+    `独立版/SearchUser.py:14-21` (parseResponse): first
+    ``div[class^='card card-user-b'] > div.avator > a/@href``, uid after the
+    last '/'; '-1' when no hit (the reference returns int -1)."""
+    for d in root.iter():
+        if d.tag != "div" or not d.attrs.get("class", "").startswith("card card-user-b"):
+            continue
+        av = d.first("div", "avator", direct=True)
+        if av is None:
+            continue
+        a = av.first("a", direct=True)
+        if a is None:
+            continue
+        href = a.attrs.get("href", "")
+        if "/" in href:
+            return href[href.rindex("/") + 1 :]
+    return "-1"
+
+
 def extract_album_images(root: Node) -> list[str]:
     """picAll page → large-size image urls
     (`独立版/WeiboDeepAnalyzer.py:233-245`)."""
@@ -613,6 +843,14 @@ def page_text(url: str, html: str | bytes, now: datetime) -> str:
         return "\n".join(parts)
     if kind == "repost":
         return "\n".join(r["content"] for r in extract_reposts_from_page(root, now))
+    if kind == "search":
+        return "\n".join(h["content"] for h in extract_search_from_page(root, now))
+    if kind == "article":
+        return extract_article_text(root)
+    if kind == "usersearch":
+        return ""
+    if kind == "api_comments":
+        return "\n".join(c["text"] for c in parse_api_comments(html)["comments"])
     body = root.first("body")
     return clean_text(body.string() if body is not None else root.string())
 
@@ -622,10 +860,19 @@ _URL_REPOST = re.compile(r"^https?://[^/]+/repost/([^/?#]+)(?:\?page=(\d+))?")
 _URL_ALBUM = re.compile(r"^https?://[^/]+/mblog/picAll/([^/?#]+)")
 _URL_INFO = re.compile(r"^https?://[^/]+/(\d+)/info")
 _URL_PROFILE = re.compile(r"^https?://[^/]+/(\d+)/profile(?:\?page=(\d+))?")
+_URL_SEARCH = re.compile(r"^https?://[^/]+/search/mblog\?keyword=([^&#]+)(?:&page=(\d+))?")
+_URL_ARTICLE = re.compile(r"^https?://[^/]+/article/([^/?#]+)")
+_URL_USERSEARCH = re.compile(r"^https?://s\.[^/]+/user\?q=([^&#]+)")
+_URL_HOTFLOW = re.compile(r"^https?://[^/]+/comments/hotflow\?id=([^&#]+)")
 
 
 def classify_url(url: str) -> tuple[str, str | None, int]:
-    """URL family → (kind, wid/uid, page). Families per FIXTURES.md §1."""
+    """URL family → (kind, wid/uid/keyword, page). Families per FIXTURES.md §1
+    plus round 2: topic search (`独立版/WeiboTopicScrapy.py:438-446`), article
+    (`独立版/WeiboComPostSpider.py:114-137`), user search
+    (`独立版/SearchUser.py:46-55`), and the max_id cursor API
+    (`独立版/WeiboSuperCommentScrapy.py:375-389`; page is cursor-chain depth,
+    carried by the frontier, not the URL)."""
     m = _URL_COMMENT.match(url)
     if m:
         return "comment", m.group(1), int(m.group(2) or 1)
@@ -641,4 +888,57 @@ def classify_url(url: str) -> tuple[str, str | None, int]:
     m = _URL_INFO.match(url)
     if m:
         return "info", m.group(1), 1
+    m = _URL_SEARCH.match(url)
+    if m:
+        return "search", m.group(1), int(m.group(2) or 1)
+    m = _URL_ARTICLE.match(url)
+    if m:
+        return "article", m.group(1), 1
+    m = _URL_USERSEARCH.match(url)
+    if m:
+        return "usersearch", m.group(1), 1
+    m = _URL_HOTFLOW.match(url)
+    if m:
+        return "api_comments", m.group(1), 1
     return "other", None, 1
+
+
+def parse_api_comments(html: str | bytes | None) -> dict:
+    """Stored hotflow API payload → {max_id, comments[]}, replaying
+    `独立版/WeiboSuperCommentScrapy.py:353-374,383-410` (info_parser + the
+    nested-``comments`` flatten). Raw ``created_at`` is kept verbatim — the
+    reference writes it unparsed. A missing ``like_count`` is None here; the
+    export layer renders the reference's ``数据缺失`` sentinel (P8)."""
+    import json as _json
+
+    if html is None:
+        return {"max_id": None, "comments": []}
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", "replace")
+    try:
+        payload = _json.loads(html)
+    except ValueError:
+        return {"max_id": None, "comments": []}
+    data = payload.get("data") or {}
+    max_id = data.get("max_id")
+    out: list[dict] = []
+
+    def info(c: dict) -> dict:
+        user = c.get("user") or {}
+        return {
+            "wid": str(c.get("id", "")),
+            "time": c.get("created_at", ""),
+            "text": c.get("text", ""),
+            "uid": str(user.get("id", "")),
+            "like_count": c.get("like_count"),
+            "username": user.get("screen_name", ""),
+            "following": user.get("follow_count"),
+            "followed": user.get("followers_count"),
+            "gender": user.get("gender"),
+        }
+
+    for c in data.get("data") or []:
+        out.append(info(c))
+        for cc in c.get("comments") or []:
+            out.append(info(cc))
+    return {"max_id": str(max_id) if max_id is not None else None, "comments": out}

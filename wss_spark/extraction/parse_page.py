@@ -1,6 +1,6 @@
 """Vectorized extraction stage: pages(html) → typed entity rows.
 
-One Arrow-batched ``mapInPandas`` pass parses each fetched page exactly once
+One Arrow-batched ``mapInArrow`` pass parses each fetched page exactly once
 and emits a *tall* unified result (one row per extracted entity + one
 ``kind='page'`` row carrying page-level metadata and the canonical extracted
 ``text``). Downstream stages slice it declaratively by ``kind`` — Catalyst
@@ -8,8 +8,16 @@ prunes the unused columns per consumer.
 
 This replaces the reference's per-page imperative parse loops
 (`独立版/WeiboDeepAnalyzer.py:308-428,432-544`) with the engine's UDTF-shaped
-pandas-UDF pattern (SURVEY.md §2.10). No per-row Python UDFs: the only Python
-boundary is this one mapInPandas, per the BASELINE.json input_hint.
+Arrow-UDF pattern (SURVEY.md §2.10). No per-row Python UDFs: the only Python
+boundary is this one mapInArrow, per the BASELINE.json input_hint.
+
+Why mapInArrow, not mapInPandas: the stage is memory-bandwidth-bound at high
+core counts (BASELINE.md r01 measured 0.34 single-box 8→32 scaling). The
+pandas path costs two extra full materializations per batch on each side
+(Arrow→pandas object blocks on input, pandas→Arrow on output, both via
+per-cell PyObject shuffling in the block manager); building pyarrow arrays
+straight from the parser's row lists removes both copies and most of the
+intermediate allocation churn.
 """
 
 from __future__ import annotations
@@ -17,7 +25,7 @@ from __future__ import annotations
 from datetime import datetime
 from typing import Iterator
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -61,12 +69,34 @@ PARSED = StructType(
         StructField("n_blocks", IntegerType(), True),  # repost stop-condition input
         StructField("text", StringType(), True),  # canonical page text (kind='page')
         StructField("is_origin", BooleanType(), True),  # timeline P3 flag
+        StructField("cursor", StringType(), True),  # max_id continuation (S5)
+        StructField("publish_place", StringType(), True),  # search-hit place
+        StructField("publisher_href", StringType(), True),  # J2 dim link
     ]
 )
 
 _COLS = [f.name for f in PARSED.fields]
 _IDX = {name: i for i, name in enumerate(_COLS)}
 _I_URL, _I_KIND, _I_ROOT, _I_PAGE = (_IDX["url"], _IDX["kind"], _IDX["root_id"], _IDX["page"])
+
+# Arrow types per PARSED column (mapInArrow output batches must match the
+# Spark schema exactly: Integer→int32, Boolean→bool, Array<String>→list)
+_PA_TYPES = {
+    "url": pa.string(), "kind": pa.string(), "root_id": pa.string(),
+    "page": pa.int32(), "block_index": pa.int32(), "entity_id": pa.string(),
+    "user_id": pa.string(), "user_name": pa.string(), "content": pa.string(),
+    "like_count": pa.int32(), "publish_time": pa.string(),
+    "is_hot": pa.bool_(), "publish_source": pa.string(),
+    "repost_count": pa.int32(), "comment_count": pa.int32(),
+    "total_comment_pages": pa.int32(), "fulltext_href": pa.string(),
+    "album_href": pa.string(), "images": pa.list_(pa.string()),
+    "gender": pa.string(), "location": pa.string(),
+    "followers_num": pa.int32(), "weibo_num": pa.int32(),
+    "following_num": pa.int32(), "n_blocks": pa.int32(),
+    "text": pa.string(), "is_origin": pa.bool_(),
+    "cursor": pa.string(), "publish_place": pa.string(),
+    "publisher_href": pa.string(),
+}
 
 
 def _rows_for_page(url: str, html, now: datetime) -> list[list]:
@@ -168,6 +198,63 @@ def _rows_for_page(url: str, html, now: datetime) -> list[list]:
             )
             text_parts.append(p["content"])
         n_blocks = len(posts)
+    elif kind == "search":
+        hits = kernel.extract_search_from_page(root, now)
+        for h in hits:
+            out.append(
+                mk(
+                    "search",
+                    entity_id=h["wid"],
+                    user_id=h["publisher_uid"],
+                    publisher_href=h["publisher_href"],
+                    content=h["content"],
+                    like_count=h["like_count"],
+                    repost_count=h["forward_count"],
+                    comment_count=h["comment_count"],
+                    publish_time=h["publish_time"],
+                    publish_source=h["publish_tool"],
+                    publish_place=h["publish_place"],
+                    album_href=h["album_href"],
+                    is_origin=h["is_origin"],
+                    block_index=h["block_index"],
+                )
+            )
+            text_parts.append(h["content"])
+        n_blocks = len(hits)
+    elif kind == "article":
+        t = kernel.extract_article_text(root)
+        out.append(mk("article", entity_id=rid, content=t, block_index=0))
+        text_parts = [t] if t else []
+        n_blocks = 1 if t else 0
+    elif kind == "usersearch":
+        uid = kernel.extract_first_user_hit(root)
+        out.append(mk("usersearch", entity_id=uid, user_name=rid, block_index=0))
+        n_blocks = 0 if uid == "-1" else 1
+    elif kind == "api_comments":
+        parsed_api = kernel.parse_api_comments(html)
+        for j, c in enumerate(parsed_api["comments"]):
+            out.append(
+                mk(
+                    "api_comment",
+                    entity_id=c["wid"],
+                    user_id=c["uid"],
+                    user_name=c["username"],
+                    content=c["text"],
+                    like_count=c["like_count"],
+                    publish_time=c["time"],
+                    gender=c["gender"],
+                    followers_num=c["followed"],
+                    following_num=c["following"],
+                    block_index=j,
+                )
+            )
+            text_parts.append(c["text"])
+        n_blocks = len(parsed_api["comments"])
+        out.append(
+            mk("page", n_blocks=n_blocks, text="\n".join(text_parts),
+               cursor=parsed_api["max_id"])
+        )
+        return out
     elif kind == "album":
         imgs = kernel.extract_album_images(root)
         out.append(mk("album", images=imgs))
@@ -201,27 +288,51 @@ def _rows_for_page(url: str, html, now: datetime) -> list[list]:
     return out
 
 
-def parse_pages(pages: DataFrame, now: datetime = ANCHOR) -> DataFrame:
-    """pages(url, html, ...) → tall PARSED DataFrame (one Arrow pass)."""
-    cols = pages.select("url", "html")
+def parse_pages(pages: DataFrame, now: datetime = ANCHOR,
+                passthrough: list[str] | None = None) -> DataFrame:
+    """pages(url, html, ...) → tall PARSED DataFrame (one Arrow pass).
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    ``passthrough`` names extra input columns (e.g. ``warc_ts`` for
+    streaming event-time) to replicate onto every output row of their page —
+    carried as Arrow ``take`` on the original arrays, so any type rides
+    through with zero Python-object conversion.
+    """
+    extra = list(passthrough or [])
+    cols = pages.select("url", "html", *extra)
+    out_schema = StructType(
+        PARSED.fields + [pages.schema[c] for c in extra]
+    ) if extra else PARSED
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        names = _COLS + extra
+        for batch in batches:
+            urls = batch.column(0).to_pylist()
+            htmls = batch.column(1).to_pylist()
             rows: list[list] = []
-            for url, html in zip(pdf["url"], pdf["html"]):
-                rows.extend(_rows_for_page(url, html, now))
-            # column-wise assembly: zip(*rows) transposes position-aligned
-            # lists straight into pandas columns (no per-row dict resolution)
+            src_idx: list[int] = []  # output row → input row (passthrough take)
+            for i, (url, html) in enumerate(zip(urls, htmls)):
+                page_rows = _rows_for_page(url, html, now)
+                rows.extend(page_rows)
+                if extra:
+                    src_idx.extend([i] * len(page_rows))
+            # columnar assembly: transpose position-aligned row lists straight
+            # into pyarrow arrays (no pandas block manager in the path)
             if rows:
                 cols_data = list(zip(*rows))
-                yield pd.DataFrame(
-                    {name: cols_data[i] for i, name in enumerate(_COLS)},
-                    columns=_COLS,
-                )
+                arrays = [
+                    pa.array(cols_data[i], type=_PA_TYPES[name])
+                    for i, name in enumerate(_COLS)
+                ]
             else:
-                yield pd.DataFrame(columns=_COLS)
+                arrays = [pa.array([], type=_PA_TYPES[name]) for name in _COLS]
+            if extra:
+                take = pa.array(src_idx, type=pa.int32())
+                arrays += [
+                    batch.column(2 + j).take(take) for j in range(len(extra))
+                ]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return cols.mapInPandas(run, schema=PARSED)
+    return cols.mapInArrow(run, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -331,6 +442,88 @@ def extract_timeline(parsed: DataFrame, only_origin: bool = False) -> DataFrame:
 def extract_albums(parsed: DataFrame) -> DataFrame:
     return parsed.filter(F.col("kind") == "album").select(
         F.col("root_id").alias("wid"), "images"
+    )
+
+
+def extract_search_hits(parsed: DataFrame, only_origin: bool = False) -> DataFrame:
+    """Topic-search rows (`独立版/WeiboTopicScrapy.py:352-386`); P3
+    ``only_origin`` is the spider's filter=1 mode (`:356`)."""
+    df = parsed.filter(F.col("kind") == "search")
+    if only_origin:
+        df = df.filter(F.col("is_origin"))
+    return df.select(
+        F.col("root_id").alias("keyword"),
+        "page",
+        "block_index",
+        F.col("entity_id").alias("wid"),
+        F.col("user_id").alias("publisher_uid"),
+        "publisher_href",
+        "is_origin",
+        "content",
+        "publish_place",
+        "publish_time",
+        F.col("publish_source").alias("publish_tool"),
+        F.col("like_count").alias("up_num"),
+        F.col("repost_count").alias("retweet_num"),
+        F.col("comment_count").alias("comment_num"),
+        "album_href",
+    )
+
+
+def enrich_search_hits(parsed: DataFrame, users: DataFrame) -> DataFrame:
+    """J2 — publisher-profile enrichment as a broadcast join against the
+    user dim, replacing the reference's per-hit publisher-page fetch
+    (`独立版/WeiboTopicScrapy.py:332-349` → columns 发布者昵称/性别/地区/
+    关注数/粉丝数 of `:392-405`)."""
+    dim = users.select(
+        F.col("uid").alias("publisher_uid"),
+        F.col("nickname").alias("publisher_name"),
+        F.col("gender").alias("publisher_sex"),
+        F.col("location").alias("publisher_province"),
+        F.col("following_num").alias("publisher_following"),
+        F.col("followers_num").alias("publisher_followed"),
+    )
+    return extract_search_hits(parsed).join(
+        F.broadcast(dim), "publisher_uid", "left"
+    )
+
+
+def extract_articles(parsed: DataFrame) -> DataFrame:
+    """Article `<p>`-walk rows (`独立版/WeiboComPostSpider.py:114-137`)."""
+    return parsed.filter(F.col("kind") == "article").select(
+        F.col("entity_id").alias("article_id"),
+        F.col("content").alias("article_text"),
+        "url",
+    )
+
+
+def extract_api_comments(parsed: DataFrame) -> DataFrame:
+    """max_id-cursor API comment rows
+    (`独立版/WeiboSuperCommentScrapy.py:353-374` info_parser fields; raw
+    ``created_at`` kept verbatim like the reference's CSV)."""
+    return parsed.filter(F.col("kind") == "api_comment").select(
+        F.col("root_id").alias("weibo_id"),
+        "page",
+        "block_index",
+        F.col("entity_id").alias("wid"),
+        F.col("publish_time").alias("time"),
+        F.col("content").alias("text"),
+        F.col("user_id").alias("uid"),
+        "like_count",
+        F.col("user_name").alias("username"),
+        F.col("following_num").alias("following"),
+        F.col("followers_num").alias("followed"),
+        "gender",
+    )
+
+
+def extract_user_hits(parsed: DataFrame) -> DataFrame:
+    """Name→uid resolution rows (`独立版/SearchUser.py:14-21`): first search
+    hit per name; uid '-1' = no hit."""
+    return parsed.filter(F.col("kind") == "usersearch").select(
+        F.col("user_name").alias("query_name"),
+        F.col("entity_id").alias("uid"),
+        F.format_string("https://weibo.com/u/%s", F.col("entity_id")).alias("user_link"),
     )
 
 

@@ -67,6 +67,64 @@ def parse_weibo_time(raw: Column | str, now: datetime | Column) -> Column:
     )
 
 
+def parse_weibo_time_like(raw: Column | str, now: datetime | Column) -> Column:
+    """F1 variant — the LIKE spider's zero-padding sliced parser
+    (`独立版/WeiboLikeSpider.py:24-54`), as a JVM when-chain. Distinct from
+    :func:`parse_weibo_time` (the DeepAnalyzer regex-ish variant): no 来自
+    split, no strip, the 月 branch zero-pads ``8月5日`` → ``08月05日`` then
+    slices fixed positions ([0:2] month, [3:5] day, [7:12] time — so a
+    missing HH:MM leaves a trailing space), the else branch is ``[:16]``.
+    Byte parity with kernel.parse_time_sliced(pad=True) is test-pinned."""
+    c = F.col(raw) if isinstance(raw, str) else raw
+    now_ts = F.lit(now) if isinstance(now, datetime) else now
+    fmt_min = "yyyy-MM-dd HH:mm"
+
+    minutes = F.regexp_extract(c, r"^(\d+)分钟", 1).cast("int")
+    hours = F.regexp_extract(c, r"^(\d+)小时", 1).cast("int")
+    mon = F.lpad(F.regexp_extract(c, r"^(\d{1,2})月", 1), 2, "0")
+    day = F.lpad(F.regexp_extract(c, r"月(\d{1,2})日", 1), 2, "0")
+    rest = F.regexp_extract(c, r"日(.*)$", 1)
+    padded = F.concat(mon, F.lit("月"), day, F.lit("日"), rest)
+
+    return (
+        F.when(c.contains("刚刚"), F.date_format(now_ts, fmt_min))
+        .when(
+            c.contains("分钟"),
+            F.date_format(now_ts - F.make_dt_interval(F.lit(0), F.lit(0), minutes), fmt_min),
+        )
+        .when(
+            c.contains("小时"),
+            F.date_format(now_ts - F.make_dt_interval(F.lit(0), hours), fmt_min),
+        )
+        .when(
+            c.contains("今天"),
+            F.concat(F.date_format(now_ts, "yyyy-MM-dd"), F.lit(" "),
+                     F.substring(c, 4, 100000)),
+        )
+        .when(
+            c.contains("月"),
+            F.concat(
+                F.date_format(now_ts, "yyyy"), F.lit("-"), mon, F.lit("-"), day,
+                F.lit(" "), F.substring(padded, 8, 5),
+            ),
+        )
+        .otherwise(F.substring(c, 1, 16))
+    )
+
+
+def time_params_formatter(params_time: str, offset_day: int = 0,
+                          offset_hour: int = -8) -> str:
+    """F17 — the topic spider's search-param time shifter
+    (`独立版/WeiboTopicScrapy.py:505-512`): 'YYYY-mm-dd-HH' shifted by the
+    GMT+8 boundary offsets (start_time −8 h; end_time −1 day −7 h in the
+    spider's ctor, `:65-66`)."""
+    from datetime import datetime, timedelta
+
+    y, mo, d, h = (int(e) for e in params_time.split("-"))
+    t = datetime(y, mo, d, h) + timedelta(days=offset_day, hours=offset_hour)
+    return t.strftime("%Y-%m-%d-%H")
+
+
 def parse_api_time(raw: Column | str) -> Column:
     """F2: '%a %b %d %H:%M:%S %z %Y' → '%Y-%m-%d %H:%M:%S'
     (`独立版/CommentedWeiboSpider.py:35-38`).

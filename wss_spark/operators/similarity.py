@@ -97,12 +97,19 @@ def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
 
 
 def srp_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
-             n_planes: int = 8, n_tables: int = 4,
+             n_planes: int = 8, n_tables: int = 4, n_probe_bits: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding",
              round_dp: int = 4) -> DataFrame:
     """Approximate cosine top-k: union of ``n_tables`` sign-random-projection
     bucketings; candidates = same bucket in any table; exact cosine scores
-    only candidates. Deterministic (planes are seeded, no RNG)."""
+    only candidates. Deterministic (planes are seeded, no RNG).
+
+    ``n_probe_bits=1`` enables multi-probe on the QUERY side: each query also
+    probes the ``n_planes`` buckets at Hamming distance 1 (one flipped sign),
+    which multiplies recall for wide-angle neighbors while the corpus-side
+    bucketing — the expensive side at 100 TB — stays single-bucket. Probing
+    is a query-side explode: candidate generation remains a plain equi-join
+    on (table, bucket)."""
     c = corpus.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("cv"))
     q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv"))
 
@@ -113,6 +120,14 @@ def srp_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
                       F.lit(t).alias("table"))
         qb = q.select("qid", srp_bucket(F.col("qv"), planes).alias("bucket"),
                       F.lit(t).alias("table"))
+        if n_probe_bits >= 1:
+            probes = F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            )
+            qb = qb.select(
+                "qid", "table", F.explode(probes).alias("bucket")
+            )
         pairs = qb.join(cb, ["table", "bucket"]).select("qid", "nid")
         cand = pairs if cand is None else cand.unionByName(pairs)
     cand = cand.distinct().filter(F.col("qid") != F.col("nid"))

@@ -35,17 +35,19 @@ def stream_pages(spark: SparkSession, pages_dir: str,
     return reader.parquet(pages_dir)
 
 
-def stream_extract_entities(pages_stream: DataFrame,
-                            now: datetime = ANCHOR) -> DataFrame:
+def stream_extract_entities(pages_stream: DataFrame, now: datetime = ANCHOR,
+                            with_event_time: bool = False) -> DataFrame:
     """Streaming html→entities via the shared vectorized extraction pass.
 
-    ``parse_pages`` only projects (url, html), so the streaming plan prunes
-    the rest of the scan just like batch.
+    By default ``parse_pages`` projects only (url, html), so the streaming
+    plan prunes the rest of the scan just like batch. With
+    ``with_event_time=True`` the source's ``warc_ts`` rides through the
+    Arrow pass onto every entity row (parse_pages passthrough), so the
+    parsed stream itself can be watermarked/windowed downstream.
     """
-    parsed = parse_pages(pages_stream, now)
-    # re-attach event time for downstream windowing (join-free: warc_ts rides
-    # along by re-selecting from the source before the UDF would drop it)
-    return parsed
+    return parse_pages(
+        pages_stream, now, passthrough=["warc_ts"] if with_event_time else None
+    )
 
 
 def windowed_page_counts(pages_stream: DataFrame, window: str = "1 hour",

@@ -20,12 +20,19 @@ from __future__ import annotations
 
 import random
 import re
+import zlib
 from datetime import datetime, timedelta
 from typing import Iterator
 
 import pandas as pd
 
-from wss_spark.extraction.kernel import ANCHOR, clean_text, escape, parse_time
+from wss_spark.extraction.kernel import (
+    ANCHOR,
+    clean_text,
+    escape,
+    parse_time,
+    parse_time_sliced,
+)
 from wss_spark.schema import PAGES
 
 HOT_HOST = "weibo.cn"
@@ -270,6 +277,21 @@ _HEAD = "<html><head><title>微博广场</title></head><body>"
 _TAIL = "</body></html>"
 
 
+def target_user_dim(t: Target, seed: int) -> dict:
+    """The user-dim facts rendered into target t's /info page — pure function
+    shared by the HTML renderer and record-level oracles (J1/J2)."""
+    rr = _rng(seed, t.t, 4)
+    return {
+        "uid": t.uid,
+        "nickname": t.user_name,
+        "gender": rr.choice(["男", "女"]),
+        "location": rr.choice(_PLACES),
+        "weibo_num": rr.randint(10, 9000),
+        "following_num": rr.randint(0, 2000),
+        "followers_num": rr.randint(0, 100000),
+    }
+
+
 def render_target_pages(t: Target, seed: int) -> list[dict]:
     """All pages rows for one target: (url, warc_ts, html, text, lang)."""
     rows: list[dict] = []
@@ -355,10 +377,9 @@ def render_target_pages(t: Target, seed: int) -> list[dict]:
         emit(t.url_repost_page(empty_p), _HEAD + "<div class=\"pa\" id=\"pagelist\">空</div>" + _TAIL, "")
 
     # profile info page (user dim source, J1/J2)
-    rr = _rng(seed, t.t, 4)
-    gender = rr.choice(["男", "女"])
-    loc = rr.choice(_PLACES)
-    w_num, fo_num, fa_num = rr.randint(10, 9000), rr.randint(0, 2000), rr.randint(0, 100000)
+    dim = target_user_dim(t, seed)
+    gender, loc = dim["gender"], dim["location"]
+    w_num, fo_num, fa_num = dim["weibo_num"], dim["following_num"], dim["followers_num"]
     info_html = (
         f"<html><head><title>{escape(t.user_name)}的微博</title></head><body>"
         f'<div class="tip2"><span>微博[{w_num}]</span>'
@@ -373,6 +394,62 @@ def render_target_pages(t: Target, seed: int) -> list[dict]:
     emit(t.url_info(), info_html, info_text)
 
     return rows
+
+
+def expected_comment_rows(n_targets: int, seed: int = 42) -> list[dict]:
+    """Record-level replay of every comment row the extraction stage emits
+    over ``build_pages_df(n_targets, seed)`` — WITHOUT touching HTML or the
+    kernel. Mirrors render_target_pages' emission draws exactly (hot dup on
+    ~30% of main/p1 pages at block 0, duplicate-overlap row on ~30% of
+    pages ≥ 2), with block indices as the DOM positions the parser reports
+    (hot blocks consume an index even though extract_comments drops them)."""
+    out: list[dict] = []
+    for t_idx in range(n_targets):
+        t = Target(seed, t_idx)
+        comments = [t.comment(j, seed) for j in range(t.n_comments)]
+        first10 = comments[:10]
+        r = _rng(seed, t.t, 3)
+
+        def emit_page(url: str, page_no: int, seg: list[dict], hot_first: bool,
+                      dup: dict | None) -> None:
+            idx = 0
+            if hot_first:
+                idx += 1  # hot block occupies index 0, dropped by P5
+            ordered = ([dup] if dup is not None else []) + seg
+            for c in ordered:
+                content = clean_text(
+                    (f'回复@{c["reply_to"]}:' if c["reply_to"] else "") + c["body"]
+                )
+                if content.startswith("回复"):
+                    ci = content.find(":")
+                    if ci > 0:
+                        content = content[ci + 1 :].strip()
+                out.append(
+                    {
+                        "root_wid": t.wid,
+                        "page": page_no,
+                        "block_index": idx,
+                        "comment_id": c["cid"],
+                        "commenter_id": c["cuid"],
+                        "commenter_name": c["cname"],
+                        "content": content,
+                        "like_count": c["like"],
+                        "publish_time": parse_time(
+                            f'{c["raw_time"]} 来自{c["tool"]}', ANCHOR
+                        ),
+                    }
+                )
+                idx += 1
+
+        # main page (same r-draw order as render_target_pages)
+        hot_main = bool(first10) and r.random() < 0.3
+        emit_page(t.url_main(), 1, first10, hot_main, None)
+        for p in range(1, t.total_comment_pages + 1):
+            seg = comments[(p - 1) * 10 : p * 10]
+            hot = p == 1 and bool(first10) and r.random() < 0.3
+            dup = comments[(p - 1) * 10 - 1] if (p >= 2 and r.random() < 0.3) else None
+            emit_page(t.url_comment_page(p), p, seg, hot, dup)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -495,6 +572,426 @@ def build_timeline_pages_df(spark, n_targets: int, seed: int = 42,
             out: list[dict] = []
             for t_idx in pdf["id"]:
                 out.extend(render_timeline_pages(Target(seed, int(t_idx)), seed))
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return spark.range(0, n_targets, numPartitions=partitions).mapInPandas(gen, schema=PAGES)
+
+
+# ---------------------------------------------------------------------------
+# topic-search page family (`独立版/WeiboTopicScrapy.py`; SURVEY §2 J2/F17)
+# ---------------------------------------------------------------------------
+
+SEARCH_HITS_PER_PAGE = 10
+
+
+def n_search_keywords(n_targets: int) -> int:
+    return max(1, n_targets // 5)
+
+
+def search_url(host: str, kw: str, page: int) -> str:
+    """F12 — advanced-search URL construction
+    (`独立版/WeiboTopicScrapy.py:438-446` params, sans cookie plumbing)."""
+    return f"https://{host}/search/mblog?keyword={kw}&page={page}"
+
+
+def _raw_time_topic(r: random.Random) -> str:
+    """Raw span.ct times for search hits: every branch of the topic spider's
+    sliced parser (`独立版/WeiboTopicScrapy.py:203-228`) — note: NO 小时 form
+    (that parser has no hour branch) and 月日 always zero-padded."""
+    kind = r.random()
+    if kind < 0.06:
+        return "刚刚"
+    if kind < 0.18:
+        return f"{r.randint(1, 59)}分钟前"
+    if kind < 0.34:
+        return f"今天 {r.randint(0, 23):02d}:{r.randint(0, 59):02d}"
+    if kind < 0.78:
+        d = ANCHOR - timedelta(days=r.randint(0, 60), minutes=r.randint(0, 1400))
+        return f"{d.month:02d}月{d.day:02d}日 {d.hour:02d}:{d.minute:02d}"
+    d = ANCHOR - timedelta(days=r.randint(0, 200), minutes=r.randint(0, 1400))
+    return d.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _search_hit(kw_i: int, j: int, t: Target, seed: int) -> dict:
+    """One search-result post authored by target t's user."""
+    r = _rng(seed, 90_000 + kw_i, j)
+    hit = {
+        "swid": _b62(3_000_000_000_000_000 + kw_i * 1_000_003 + j * 31, width=9),
+        "uid": t.uid,
+        "name": t.user_name,
+        "host": t.host,
+        "is_origin": r.random() < 0.6,
+        "content": _sentence(r, 6, 16),
+        "place": r.choice(_PLACES[:-1]) if r.random() < 0.2 else None,
+        "orig_name": None,
+        "orig_content": None,
+        "reason": None,
+        "o_like": 0, "o_fwd": 0, "o_cmt": 0,
+        "raw_time": _raw_time_topic(r),
+        "tool": r.choice(_TOOLS),
+        "like": r.randint(0, 200),
+        "fwd": r.randint(0, 80),
+        "cmt": r.randint(0, 40),
+        "has_album": r.random() < 0.12,
+        "n_images": 0,
+    }
+    if hit["has_album"]:
+        hit["n_images"] = r.randint(1, 4)
+    if not hit["is_origin"]:
+        hit["orig_name"] = _name(r)
+        hit["orig_content"] = _sentence(r, 8, 18)
+        hit["reason"] = _sentence(r, 2, 6)
+        hit["o_like"] = r.randint(0, 99)
+        hit["o_fwd"] = r.randint(0, 50)
+        hit["o_cmt"] = r.randint(0, 30)
+        hit["place"] = None
+        hit["has_album"] = False
+        hit["n_images"] = 0
+    return hit
+
+
+def _search_hit_html(h: dict) -> str:
+    album = (
+        f' <a href="https://{h["host"]}/mblog/picAll/{h["swid"]}?rl=1">组图共{h["n_images"]}张</a>'
+        if h["has_album"] else ""
+    )
+    ct = f'<span class="ct">{escape(h["raw_time"])} 来自{escape(h["tool"])}</span>'
+    footer = f'赞[{h["like"]}] 转发[{h["fwd"]}] 评论[{h["cmt"]}] {ct}'
+    if h["is_origin"]:
+        place = (
+            f' <a href="https://place.weibo.com/p/1">{escape(h["place"])}</a></span>'
+            f' <a href="https://place.weibo.com/map">显示地图</a>'
+            if h["place"]
+            else "</span>"
+        )
+        return (
+            f'<div class="c" id="M_{h["swid"]}">'
+            f'<div><a class="nk" href="https://{h["host"]}/u/{h["uid"]}">{escape(h["name"])}</a>'
+            f'<span class="ctt">:{escape(h["content"])}{place}{album}</div>'
+            f"<div>{footer}</div></div>"
+        )
+    return (
+        f'<div class="c" id="M_{h["swid"]}">'
+        f'<div><a class="nk" href="https://{h["host"]}/u/{h["uid"]}">{escape(h["name"])}</a>'
+        f'<span class="cmt">转发了 <a href="https://{h["host"]}/u/9{h["uid"]}">'
+        f'{escape(h["orig_name"])}</a> 的微博</span>'
+        f'<span class="ctt">:{escape(h["orig_content"])}</span></div>'
+        f'<div><span class="cmt">赞[{h["o_like"]}]</span>'
+        f'<span class="cmt">原文转发[{h["o_fwd"]}]</span>'
+        f'<span class="cmt">原文评论[{h["o_cmt"]}]</span></div>'
+        f'<div>转发理由:{escape(h["reason"])} {footer}</div></div>'
+    )
+
+
+def _search_hit_oracle(h: dict) -> dict:
+    """Record-level replay of the topic spider's slicing (NOT via the DOM) —
+    content/place/time/tool exactly as `WeiboTopicScrapy.get_one_weibo`
+    renders them from the HTML above."""
+    if h["is_origin"]:
+        tail = ""
+        if h["place"]:
+            tail = f' {h["place"]} 显示地图'
+        if h["has_album"]:
+            tail += f' 组图共{h["n_images"]}张'
+        content = f'{h["name"]}:{h["content"]}{tail}'
+    else:
+        reason = f'转发理由:{h["reason"]} '
+        content = (
+            f'{reason}\n原始用户: {h["orig_name"]}\n转发内容: {h["orig_content"]}'
+        )
+    return {
+        "wid": h["swid"],
+        "publisher_uid": h["uid"],
+        "is_origin": h["is_origin"],
+        "content": content,
+        "publish_place": h["place"] if (h["is_origin"] and h["place"]) else "无",
+        "publish_time": parse_time_sliced(
+            f'{h["raw_time"]} 来自{h["tool"]}', ANCHOR,
+            pad=False, hour_branch=False, split_source=True,
+        ),
+        "publish_tool": h["tool"],
+        "like_count": h["like"],
+        "forward_count": h["fwd"],
+        "comment_count": h["cmt"],
+    }
+
+
+def search_keyword_hits(kw_i: int, n_targets: int, seed: int) -> list[dict]:
+    """All hits of keyword kw_i, deterministic order (targets ascending,
+    1-2 hits each)."""
+    n_kw = n_search_keywords(n_targets)
+    hits: list[dict] = []
+    for t_idx in range(kw_i, n_targets, n_kw):
+        t = Target(seed, t_idx)
+        r = _rng(seed, 91_000 + kw_i, t_idx)
+        for j in range(1 + (1 if r.random() < 0.35 else 0)):
+            hits.append(_search_hit(kw_i, t_idx * 4 + j, t, seed))
+    return hits
+
+
+def render_search_pages(kw_i: int, n_targets: int, seed: int) -> list[dict]:
+    """Search-result pages for keyword kw_i: 10 hits/page, one trailing empty
+    page (scan-until-empty S6, `独立版/WeiboTopicScrapy.py:454-457`)."""
+    kw = f"topic{kw_i}"
+    hits = search_keyword_hits(kw_i, n_targets, seed)
+    host = HOT_HOST
+    warc_base = ANCHOR - timedelta(hours=3)
+    rows: list[dict] = []
+    n_pages = (len(hits) + SEARCH_HITS_PER_PAGE - 1) // SEARCH_HITS_PER_PAGE
+    for page in range(1, n_pages + 2):  # +1 trailing empty page
+        seg = hits[(page - 1) * SEARCH_HITS_PER_PAGE : page * SEARCH_HITS_PER_PAGE]
+        html = _HEAD + "".join(_search_hit_html(h) for h in seg) + _TAIL
+        text = "\n".join(_search_hit_oracle(h)["content"] for h in seg)
+        ts = warc_base + timedelta(seconds=(kw_i * 211 + page * 13) % 86400)
+        rows.append(
+            {
+                "url": search_url(host, kw, page),
+                "warc_ts": ts,
+                "html": html.encode("utf-8"),
+                "text": text,
+                "lang": "zh",
+            }
+        )
+    return rows
+
+
+def build_search_pages_df(spark, n_targets: int, seed: int = 42,
+                          partitions: int | None = None):
+    n_kw = n_search_keywords(n_targets)
+    partitions = partitions or max(4, min(n_kw // 8 + 1, 256))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for kw_i in pdf["id"]:
+                out.extend(render_search_pages(int(kw_i), n_targets, seed))
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return spark.range(0, n_kw, numPartitions=partitions).mapInPandas(gen, schema=PAGES)
+
+
+# ---------------------------------------------------------------------------
+# article page family (`独立版/WeiboComPostSpider.py:114-137` <p> walk, F15)
+# ---------------------------------------------------------------------------
+
+
+def _article_paras(t: Target, seed: int) -> list[dict]:
+    r = _rng(seed, t.t, 7)
+    paras = []
+    for i in range(r.randint(3, 8)):
+        kind = r.random()
+        p = {"img": None, "text": None, "deep": False}
+        if kind < 0.2:
+            p["img"] = f"https://wx{(i % 4) + 1}.sinaimg.cn/large/art{t.t}_{i}.jpg"
+        if kind >= 0.1 and kind < 0.9:
+            p["text"] = _sentence(r, 5, 25)
+            p["deep"] = r.random() < 0.3  # text nested under <b>
+        paras.append(p)
+    return paras
+
+
+def render_article_pages(t: Target, seed: int) -> list[dict]:
+    r = _rng(seed, t.t, 8)
+    if r.random() >= 0.3:
+        return []
+    aid = "a" + _b62(4_000_000_000_000 + t.t * 101, width=8)
+    paras = _article_paras(t, seed)
+    body = ""
+    parts: list[str] = []
+    for p in paras:
+        inner = ""
+        if p["img"]:
+            inner += f'<img src="{p["img"]}"/>'
+            parts.append(p["img"])
+        if p["text"]:
+            if p["deep"]:
+                inner += f'<b>{escape(p["text"])}</b>尾注'
+            else:
+                inner += escape(p["text"])
+            parts.append(p["text"])  # first text node only (the <b> one)
+        body += f"<p>{inner}</p>"
+    ts = ANCHOR - timedelta(hours=12) + timedelta(seconds=(t.t * 67) % 86400)
+    return [
+        {
+            "url": f"https://{t.host}/article/{aid}",
+            "warc_ts": ts,
+            "html": (_HEAD + body + _TAIL).encode("utf-8"),
+            "text": "\n".join(parts),
+            "lang": t.lang,
+        }
+    ]
+
+
+def build_article_pages_df(spark, n_targets: int, seed: int = 42,
+                           partitions: int | None = None):
+    partitions = partitions or max(4, min(n_targets // 64 + 1, 256))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for t_idx in pdf["id"]:
+                out.extend(render_article_pages(Target(seed, int(t_idx)), seed))
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return spark.range(0, n_targets, numPartitions=partitions).mapInPandas(gen, schema=PAGES)
+
+
+# ---------------------------------------------------------------------------
+# user-search family (`独立版/SearchUser.py` name→uid, J6)
+# ---------------------------------------------------------------------------
+
+
+def name_uid_pairs(n_targets: int, seed: int) -> list[tuple[str, str]]:
+    """(user_name → uid of the FIRST target bearing it) — first-hit
+    resolution, the reference's semantics for ambiguous names."""
+    best: dict[str, str] = {}
+    for t_idx in range(n_targets):
+        t = Target(seed, t_idx)
+        best.setdefault(t.user_name, t.uid)
+    return sorted(best.items())
+
+
+def render_usersearch_page(name: str, uid: str, seed: int) -> dict:
+    """One s.weibo.com-style user-search page: the first card is the
+    resolving hit; 0-2 decoy cards follow; ~12% of names have NO user card
+    (→ uid -1, `独立版/SearchUser.py:17-18`)."""
+    # NOT builtins.hash(): str hash is salted per process (PYTHONHASHSEED)
+    # and would break cross-worker determinism
+    r = _rng(seed, zlib.crc32(name.encode("utf-8")), 5)
+    cards = ""
+    if r.random() >= 0.12:
+        cards += (
+            '<div class="card card-user-b s-pg16"><div class="avator">'
+            f'<a href="https://weibo.com/u/{uid}"><img src="https://x/av{uid}.jpg"/></a>'
+            f"</div><div>{escape(name)}</div></div>"
+        )
+        for d in range(r.randint(0, 2)):
+            cards += (
+                '<div class="card card-user-b s-pg16"><div class="avator">'
+                f'<a href="https://weibo.com/u/77{d}{uid}"></a>'
+                f"</div><div>{escape(name)}_{d}</div></div>"
+            )
+    ts = ANCHOR - timedelta(hours=1)
+    return {
+        "url": f"https://s.weibo.example/user?q={name}",
+        "warc_ts": ts,
+        "html": (_HEAD + cards + _TAIL).encode("utf-8"),
+        "text": "",
+        "lang": "zh",
+    }
+
+
+def build_usersearch_pages_df(spark, n_targets: int, seed: int = 42):
+    pairs = name_uid_pairs(n_targets, seed)
+    rows = [render_usersearch_page(n, u, seed) for n, u in pairs]
+    return spark.createDataFrame(rows, PAGES)
+
+
+# ---------------------------------------------------------------------------
+# hotflow max_id cursor family (`独立版/WeiboSuperCommentScrapy.py:375-430`)
+# ---------------------------------------------------------------------------
+
+
+def hotflow_url(wid: str, max_id: str | None) -> str:
+    if max_id is None:
+        return f"https://m.weibo.cn/comments/hotflow?id={wid}&mid={wid}&max_id_type=0"
+    return (
+        f"https://m.weibo.cn/comments/hotflow?id={wid}&mid={wid}"
+        f"&max_id={max_id}&max_id_type=0"
+    )
+
+
+def _hotflow_comment(t: Target, k: int, j: int, seed: int) -> dict:
+    r = _rng(seed, t.t, 50_000 + k * 100 + j)
+    c = {
+        "id": str(8_000_000_000_000_000 + t.t * 100_000 + k * 1000 + j),
+        "created_at": _raw_time(r),
+        "text": _sentence(r, 3, 12)
+        + ("<span class=\"url-icon\">x</span>" if r.random() < 0.15 else ""),
+        "user": {
+            "id": 5_000_000_000 + t.t * 1000 + k * 50 + j,
+            "screen_name": _name(r),
+            "follow_count": r.randint(0, 2000),
+            "followers_count": r.randint(0, 90000),
+            "gender": r.choice(["m", "f"]),
+        },
+    }
+    if r.random() < 0.7:
+        c["like_count"] = r.randint(0, 500)
+    if r.random() < 0.2:
+        c["comments"] = [
+            {
+                "id": c["id"] + f"9{cc}",
+                "created_at": _raw_time(_rng(seed, t.t, 60_000 + k * 100 + j * 5 + cc)),
+                "text": _sentence(_rng(seed, t.t, 61_000 + k * 100 + j * 5 + cc), 2, 8),
+                "user": {
+                    "id": 6_000_000_000 + t.t * 1000 + j * 10 + cc,
+                    "screen_name": _name(_rng(seed, t.t, 62_000 + j * 5 + cc)),
+                    "follow_count": 1,
+                    "followers_count": 2,
+                    "gender": "m",
+                },
+                "like_count": cc,
+            }
+            for cc in range(1 + (j % 2))
+        ]
+    return c
+
+
+def hotflow_chain(t: Target, seed: int) -> list[tuple[str | None, str, list[dict]]]:
+    """[(max_id-in-url, next max_id, comments)] — the cursor chain. The final
+    page's next max_id is '0' (stop, T6)."""
+    r = _rng(seed, t.t, 9)
+    if r.random() >= 0.5:
+        return []
+    n_pages = r.randint(1, 4)
+    chain = []
+    cur: str | None = None
+    for k in range(n_pages):
+        nxt = (
+            "0" if k == n_pages - 1
+            else str(4_500_000_000_000_000 + t.t * 977 + (k + 1) * 13)
+        )
+        comments = [_hotflow_comment(t, k, j, seed) for j in range(r.randint(3, 8))]
+        chain.append((cur, nxt, comments))
+        cur = nxt
+    return chain
+
+
+def render_hotflow_pages(t: Target, seed: int) -> list[dict]:
+    import json
+
+    rows: list[dict] = []
+    warc_base = ANCHOR - timedelta(hours=9)
+    for i, (cur, nxt, comments) in enumerate(hotflow_chain(t, seed)):
+        payload = {"ok": 1, "data": {"max_id": int(nxt), "data": comments}}
+        texts = []
+        for c in comments:
+            texts.append(c["text"])
+            for cc in c.get("comments", []):
+                texts.append(cc["text"])
+        ts = warc_base + timedelta(seconds=(t.t * 53 + i * 19) % 86400)
+        rows.append(
+            {
+                "url": hotflow_url(t.wid, cur),
+                "warc_ts": ts,
+                "html": json.dumps(payload, ensure_ascii=False).encode("utf-8"),
+                "text": "\n".join(texts),
+                "lang": t.lang,
+            }
+        )
+    return rows
+
+
+def build_hotflow_pages_df(spark, n_targets: int, seed: int = 42,
+                           partitions: int | None = None):
+    partitions = partitions or max(4, min(n_targets // 64 + 1, 256))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for t_idx in pdf["id"]:
+                out.extend(render_hotflow_pages(Target(seed, int(t_idx)), seed))
             yield pd.DataFrame(out, columns=["url", "warc_ts", "html", "text", "lang"])
 
     return spark.range(0, n_targets, numPartitions=partitions).mapInPandas(gen, schema=PAGES)
