@@ -80,6 +80,7 @@ def main() -> None:
         m_bits=1 << 20,
         checkpoint_every=4,
         defer_logs=True,
+        dedup_pages=False,  # synthetic pages table is canonical (unique url)
         checkpoint_dir=tempfile.mkdtemp(prefix="wss_bench_"),
     )
     t0 = time.time()

@@ -98,8 +98,10 @@ if mode == "stages":
     # fixed work, heavy enough (>10 s at 8 cores) that per-job fixed costs
     # don't drown the signal
     t0 = time.time()
-    pages.select(F.sha2(F.base64("html"), 256).alias("h"),
-                 F.length("text").alias("l")) \
+    h = F.col("html")
+    for _ in range(4):  # ~8 s of pure-JVM hashing at 8 cores
+        h = F.sha2(F.base64(F.sha2(F.base64(h), 512)), 256)
+    pages.select(h.alias("h"), F.length("text").alias("l")) \
          .agg(F.count(F.substring("h", 1, 4)), F.sum("l"), F.count("*")).collect()
     out["jvm_s"] = round(time.time() - t0, 2)
 
@@ -124,8 +126,11 @@ if mode == "stages":
 bulk = mode == "bulk"
 pages = build_pages_df(spark, n_targets, seed=42).persist(); n_pages = pages.count()
 seeds = pages.select("url") if bulk else seed_list(n_targets, seed=42)
+# dedup_pages=False: the synthetic pages table is canonical (unique url),
+# as an Iceberg warehouse table would be — the guard agg is ingest's job
 cfg = CrawlConfig(budget=(None if budget <= 0 else budget), n_buckets=64,
                   m_bits=1 << 20, checkpoint_every=10, defer_logs=True,
+                  dedup_pages=False,
                   checkpoint_dir=tempfile.mkdtemp(prefix=f"wss_scale{{cores}}_"))
 t0 = time.time()
 res = run_crawl(spark, pages, seeds, cfg)
@@ -183,11 +188,20 @@ def main() -> None:
     for _ in range(repeats):
         lo_runs.append(run_level(8, n_targets, budget, mode))
         hi_runs.append(run_level(32, n_targets, budget, mode))
-    lo = min(lo_runs, key=lambda r: r.get("wall_s", r.get("extract_s", 0)))
-    hi = min(hi_runs, key=lambda r: r.get("wall_s", r.get("extract_s", 0)))
-    if repeats > 1 and mode != "stages":
-        lo["all_walls"] = [r["wall_s"] for r in lo_runs]
-        hi["all_walls"] = [r["wall_s"] for r in hi_runs]
+    if mode == "stages":
+        # per-stage min across repeats (host noise is independent per stage)
+        keys = [k for k in lo_runs[0] if k.endswith("_s")]
+        lo = dict(lo_runs[0])
+        hi = dict(hi_runs[0])
+        for k in keys:
+            lo[k] = min(r[k] for r in lo_runs)
+            hi[k] = min(r[k] for r in hi_runs)
+    else:
+        lo = min(lo_runs, key=lambda r: r["wall_s"])
+        hi = min(hi_runs, key=lambda r: r["wall_s"])
+        if repeats > 1:
+            lo["all_walls"] = [r["wall_s"] for r in lo_runs]
+            hi["all_walls"] = [r["wall_s"] for r in hi_runs]
     if mode == "stages":
         effs = {
             k[:-2]: round(lo[k] / hi[k] / 4, 3)

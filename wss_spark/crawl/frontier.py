@@ -63,6 +63,13 @@ class CrawlConfig:
     # throughput benchmarks; per-wave appends (default) are the resumable
     # production path.
     defer_logs: bool = False
+    # the pages table is normally the warehouse's canonical store (unique by
+    # url — Iceberg MERGE at ingest guarantees it). dedup_pages=True guards
+    # against a non-canonical input at the cost of a sort-aggregate over the
+    # html payload (first(html) per url): binary first() cannot hash-agg, so
+    # it double-sorts the full payload — skip it when the input is known
+    # canonical.
+    dedup_pages: bool = True
 
 
 @dataclass
@@ -122,12 +129,10 @@ def run_crawl(
     # narrow frontier side moves per wave. This is the single-box stand-in
     # for a url-bucketed Iceberg pages table on a cluster.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pages_idx = (
-        pages.select("url", "html")
-        .repartition(n_part, "url")
-        .dropDuplicates(["url"])
-        .persist()
-    )
+    pages_idx = pages.select("url", "html").repartition(n_part, "url")
+    if cfg.dedup_pages:
+        pages_idx = pages_idx.dropDuplicates(["url"])
+    pages_idx = pages_idx.persist()
 
     snap = checkpoint.latest_snapshot(root) if resume else None
     if snap is not None:

@@ -28,6 +28,22 @@ WEIBO_HEADERS = [
 ]
 
 
+# Driver-side renders are for per-target golden files (the reference writes
+# one CSV per crawl target). A full-corpus DataFrame pointed here by mistake
+# would OOM the driver — fail fast instead (VERDICT r01 §wrong-5).
+EXPORT_MAX_ROWS = 1_000_000
+
+
+def _guard_size(df: DataFrame, what: str) -> None:
+    n = df.limit(EXPORT_MAX_ROWS + 1).count()
+    if n > EXPORT_MAX_ROWS:
+        raise ValueError(
+            f"{what}: refusing driver-side export of >{EXPORT_MAX_ROWS} rows "
+            f"— these renders are per-target golden files; write parquet for "
+            f"full-corpus results"
+        )
+
+
 def _write_csv(path: str, headers: list[str], rows: list[list]) -> None:
     """Header-once, utf-8-sig, the reference's CSV convention
     (`独立版/WeiboCommentScrapy.py:149-155`)."""
@@ -42,6 +58,7 @@ def export_comments_csv(comments: DataFrame, path: str) -> int:
     """Comments entity table → `{wid}_comments.csv` shape
     (`独立版/WeiboDeepAnalyzer.py:643-655`). Deterministic order:
     (page, block_index)."""
+    _guard_size(comments, "export_comments_csv")
     rows = (
         comments.orderBy("page", "block_index")
         .select("comment_id", "commenter_id", "commenter_name", "content",
@@ -54,6 +71,7 @@ def export_comments_csv(comments: DataFrame, path: str) -> int:
 
 def export_reposts_csv(reposts: DataFrame, path: str) -> int:
     """`独立版/WeiboDeepAnalyzer.py:658-669` shape."""
+    _guard_size(reposts, "export_reposts_csv")
     rows = (
         reposts.orderBy("page", "block_index")
         .select("user_id", "user_name", "content", "like_count", "publish_time")
@@ -66,6 +84,7 @@ def export_reposts_csv(reposts: DataFrame, path: str) -> int:
 def export_weibo_csv(weibo: DataFrame, path: str) -> int:
     """`独立版/WeiboDeepAnalyzer.py:625-640` shape; '无' placeholder for
     missing source (P8)."""
+    _guard_size(weibo, "export_weibo_csv")
     rows = (
         weibo.orderBy("wid")
         .select(
@@ -100,6 +119,7 @@ def export_timeline_csv(timeline: DataFrame, path: str) -> int:
     image urls space-joined (F13), '无' placeholder for no-image rows (P8),
     newest-first is the reference's flush order but the deterministic export
     key here is (uid, page, block_index)."""
+    _guard_size(timeline, "export_timeline_csv")
     rows = (
         timeline.orderBy("uid", "page", "block_index")
         .select(
@@ -165,6 +185,8 @@ def export_complete_json(weibo: DataFrame, comments: DataFrame,
     """Nested complete.json (`独立版/WeiboDeepAnalyzer.py:604-620`):
     weibo_content + comments[] + reposts[] + stats, ensure_ascii=False,
     indent=2."""
+    _guard_size(comments, "export_complete_json(comments)")
+    _guard_size(reposts, "export_complete_json(reposts)")
     w = weibo.orderBy("wid").limit(1).collect()
     doc = {
         "weibo_content": dict(w[0].asDict()) if w else None,
