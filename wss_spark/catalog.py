@@ -1569,10 +1569,33 @@ def topic_window_urls(spark, sf):
 # ===========================================================================
 
 
+def _crawl_log_expected() -> list[tuple]:
+    """The single-threaded reference simulator's fetch log over the SAME
+    8-target pages table and seed list — the north-star scheduler's full
+    oracle (visit set, wave assignment, per-host politeness ranks, stages,
+    pages, statuses), computed without Spark."""
+    from wss_spark.crawl.simulator import simulate
+    from wss_spark.synth import Target, render_target_pages, seed_list
+
+    pages: dict[str, bytes] = {}
+    for t in range(8):
+        for row in render_target_pages(Target(42, t), 42):
+            pages[row["url"]] = row["html"]
+    log: list[dict] = []
+    simulate(pages, seed_list(8, seed=42), budget=6, log=log)
+    return [
+        (r["canon_url"], r["host"], r["wave"], r["rank_in_wave"], r["stage"],
+         r["page"], r["status"])
+        for r in log
+    ]
+
+
 @_q("crawl_fetch_log", None)
 def crawl_fetch_log(spark, sf):
     """End-to-end crawl of a small synthetic pages table: returns the
-    deterministic fetch log (the north-star scheduler in one query)."""
+    deterministic fetch log (the north-star scheduler in one query). The
+    oracle is the single-threaded reference simulator's log (VALUES) —
+    waves, per-host politeness ranks, stages, and statuses all gated."""
     import tempfile
 
     from wss_spark.crawl.frontier import CrawlConfig, run_crawl
@@ -1585,6 +1608,86 @@ def crawl_fetch_log(spark, sf):
     return res.fetch_log.select(
         "canon_url", "host", "wave", "rank_in_wave", "stage", "page", "status"
     )
+
+
+QUERIES["crawl_fetch_log"].sql = _values_table(
+    _crawl_log_expected(),
+    [
+        ("canon_url", "VARCHAR"), ("host", "VARCHAR"), ("wave", "INTEGER"),
+        ("rank_in_wave", "INTEGER"), ("stage", "INTEGER"), ("page", "INTEGER"),
+        ("status", "INTEGER"),
+    ],
+)
+
+
+def _families_seeds() -> list[str]:
+    from wss_spark import synth
+
+    seeds = synth.seed_list(10, seed=42, n_seeds=3)
+    seeds.append(synth.search_url(synth.HOT_HOST, "topic0", 1))
+    for t in range(10):
+        tt = synth.Target(42, t)
+        if synth.hotflow_chain(tt, 42):
+            seeds.append(synth.hotflow_url(tt.wid, None))
+        if len(seeds) >= 6:
+            break
+    return seeds
+
+
+def _crawl_families_expected() -> list[tuple]:
+    from wss_spark import synth
+    from wss_spark.crawl.simulator import simulate
+
+    pages: dict[str, bytes] = {}
+    for t in range(10):
+        tt = synth.Target(42, t)
+        for row in (synth.render_target_pages(tt, 42)
+                    + synth.render_hotflow_pages(tt, 42)):
+            pages[row["url"]] = row["html"]
+    for kw in range(synth.n_search_keywords(10)):
+        for row in synth.render_search_pages(kw, 10, 42):
+            pages[row["url"]] = row["html"]
+    log: list[dict] = []
+    simulate(pages, _families_seeds(), budget=5, log=log)
+    return [
+        (r["canon_url"], r["host"], r["wave"], r["rank_in_wave"], r["stage"],
+         r["page"], r["status"])
+        for r in log
+    ]
+
+
+@_q("crawl_families_log", None)
+def crawl_families_log(spark, sf):
+    """The round-2 page families driven through the full crawl: search-page
+    scan-until-empty chains (stage 6) + publisher-info discovery (stage 5)
+    + hotflow max_id cursor chains (stage 7) alongside the classic comment/
+    repost expansion — gated against the reference simulator's fetch log."""
+    import tempfile
+
+    from wss_spark import synth
+    from wss_spark.crawl.frontier import CrawlConfig, run_crawl
+
+    pages = (
+        synth.build_pages_df(spark, 10, seed=42)
+        .unionByName(synth.build_search_pages_df(spark, 10, seed=42))
+        .unionByName(synth.build_hotflow_pages_df(spark, 10, seed=42))
+    )
+    cfg = CrawlConfig(budget=5, n_buckets=8, m_bits=1 << 16,
+                      checkpoint_dir=tempfile.mkdtemp(prefix="wss_qf_"))
+    res = run_crawl(spark, pages, _families_seeds(), cfg)
+    return res.fetch_log.select(
+        "canon_url", "host", "wave", "rank_in_wave", "stage", "page", "status"
+    )
+
+
+QUERIES["crawl_families_log"].sql = _values_table(
+    _crawl_families_expected(),
+    [
+        ("canon_url", "VARCHAR"), ("host", "VARCHAR"), ("wave", "INTEGER"),
+        ("rank_in_wave", "INTEGER"), ("stage", "INTEGER"), ("page", "INTEGER"),
+        ("status", "INTEGER"),
+    ],
+)
 
 
 def _comments_expected() -> list[tuple]:

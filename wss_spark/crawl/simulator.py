@@ -104,9 +104,14 @@ def simulate(
     max_waves: int = 200,
     robots_blocked_prefixes: list[tuple[str, str]] | None = None,
     now: datetime = ANCHOR,
+    log: list[dict] | None = None,
 ) -> tuple[list[str], set[str]]:
     """→ (visit order of canon urls, final seen set). ``pages`` maps the
-    exact url → html bytes (fetch is by literal url, like the reference)."""
+    exact url → html bytes (fetch is by literal url, like the reference).
+
+    Pass ``log=[]`` to also record one dict per admitted url
+    (canon_url, host, wave, rank_in_wave, stage, page, status) — the
+    engine's fetch-log shape, used as the crawl_fetch_log oracle."""
     blocked_rules = robots_blocked_prefixes or []
 
     def is_blocked(canon: str) -> bool:
@@ -148,11 +153,26 @@ def simulate(
             else:
                 deferred.append(r)
         nxt: list[tuple] = []
+        rank_per_host: dict[str, int] = {}
         for r in admitted:
             prio, seed_order, stage, page, canon, url = r
             seen.add(canon)
             order.append(canon)
             html = pages.get(url)
+            if log is not None:
+                h = _host(canon)
+                rank_per_host[h] = rank_per_host.get(h, 0) + 1
+                log.append(
+                    {
+                        "canon_url": canon,
+                        "host": h,
+                        "wave": wave,
+                        "rank_in_wave": rank_per_host[h],
+                        "stage": stage,
+                        "page": page,
+                        "status": 200 if html is not None else 404,
+                    }
+                )
             if html is None:
                 continue
             for cstage, cpage, curl in _discover(url, html, now, frontier_page=page):
