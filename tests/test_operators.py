@@ -92,6 +92,28 @@ def test_srp_recall_vs_exact(spark):
     emb.unpersist()
 
 
+def test_embedding_near_pairs_blocked_path(spark):
+    """The SRP-blocked scale path of embedding near-dup must (a) be a strict
+    subset of the exact result and (b) recall most of it."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_pairs(emb, 0.3).collect()
+    }
+    # wide buckets (3 planes): the synthetic embeddings are near-uniform, so
+    # cosine-0.3 "neighbors" sit close to the bulk distribution — real
+    # text-embedding corpora cluster far more and block far better
+    cands = similarity.srp_candidates(emb, dim=64, n_planes=3, n_tables=8)
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_pairs(emb, 0.3, candidates=cands).collect()
+    }
+    assert blocked <= exact
+    assert exact  # threshold yields a non-trivial set on this data
+    assert len(blocked) / len(exact) >= 0.6, (len(blocked), len(exact))
+    emb.unpersist()
+
+
 def test_srp_recalls_identical_vector(spark):
     vecs = [(i, [float((i * 17 + d * 3) % 101 - 50) for d in range(16)]) for i in range(20)]
     vecs.append((99, list(vecs[0][1])))  # exact duplicate of vec 0

@@ -1075,6 +1075,30 @@ def ann_cosine_topk(spark, sf):
     )
 
 
+@_q(
+    "dd_embedding_pairs",
+    """
+    WITH dims AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+                  FROM (SELECT vec_id, embedding,
+                               unnest(generate_series(1, len(embedding))) AS i
+                        FROM embeddings)),
+    norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM dims GROUP BY vec_id),
+    dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.v * b.v) AS dot
+             FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
+             GROUP BY 1, 2)
+    SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM dots JOIN norms na ON na.vec_id = id_a
+              JOIN norms nb ON nb.vec_id = id_b
+    WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.3
+    """,
+)
+def dd_embedding_pairs(spark, sf):
+    """Embedding-cosine near-duplicate pairs (the dedup flavor): exact
+    all-pairs baseline gated vs DuckDB; the scale path feeds the same
+    operator SRP-bucketed ``candidates`` (tests pin its recall)."""
+    return similarity.embedding_near_pairs(_t(spark, sf, "embeddings"), 0.3)
+
+
 @_q("ann_srp_topk", None)  # approximate path; rows-only + recall test gate
 def ann_srp_topk(spark, sf):
     """Sign-random-projection LSH ANN with query-side multi-probe (the

@@ -66,6 +66,54 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def embedding_near_pairs(emb: DataFrame, threshold: float = 0.9,
+                         candidates: DataFrame | None = None,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         round_dp: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup flavor of similarity:
+    symmetric id_a < id_b pairs with cosine ≥ threshold).
+
+    Without ``candidates`` this is the exact all-pairs baseline (correctness
+    gate; fine for per-block sizes). With ``candidates`` (e.g. SRP buckets
+    via :func:`srp_candidates`) the exact cosine runs only on candidate
+    pairs — the 100 TB path, mirroring jaccard_pairs/LSH.
+    """
+    v = emb.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    if candidates is not None:
+        pairs = candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_dp).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def srp_candidates(emb: DataFrame, dim: int, n_planes: int = 6,
+                   n_tables: int = 6, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Candidate (id_a < id_b) pairs sharing an SRP bucket in any table —
+    the blocking front-end for :func:`embedding_near_pairs` at scale. Plain
+    equi-join on (table, bucket): skew-free, no all-pairs."""
+    v = emb.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    cand = None
+    for t in range(n_tables):
+        planes = _srp_planes(dim, n_planes, t)
+        bk = v.select("_id", srp_bucket(F.col("_v"), planes).alias("bucket"),
+                      F.lit(t).alias("table"))
+        a = bk.select(F.col("_id").alias("id_a"), "bucket", "table")
+        b = bk.select(F.col("_id").alias("id_b"), "bucket", "table")
+        pairs = a.join(b, ["table", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+        p = pairs.select("id_a", "id_b")
+        cand = p if cand is None else cand.unionByName(p)
+    return cand.distinct()
+
+
 def _srp_planes(dim: int, n_planes: int, table: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from the portable hash idea:
     component = ±1 by parity of a seeded integer mix (no RNG state)."""
