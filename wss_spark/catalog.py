@@ -1753,17 +1753,6 @@ QUERIES["extract_entities_comments"].sql = _values_table(
 )
 
 
-@_q("timeline_extract", None)
-def timeline_extract(spark, sf):
-    """User-timeline family (`(using)WeiboUserScrapy.py` flagship): profile
-    pages → typed timeline rows with P3 origin flag, F8 retweet assembly,
-    F4 footer triples."""
-    from wss_spark.extraction.parse_page import extract_timeline, parse_pages
-    from wss_spark.synth import build_timeline_pages_df
-
-    return extract_timeline(parse_pages(build_timeline_pages_df(spark, 10, seed=42)))
-
-
 def _strip_tags_sql(x: str) -> str:
     """DuckDB replay of api_ingest.strip_html_tags (F15), same op order."""
     e = rf"regexp_replace({x}, '<br\s*/?>', chr(10), 'g')"
