@@ -163,6 +163,46 @@ def test_crawl_resume_equals_uninterrupted(spark, tmp_path, crawl_world):
     assert full_seen.exceptAll(resumed.seen.select("canon_url")).count() == 0
 
 
+def test_windowed_search_chain_preserves_window_params(spark, tmp_path):
+    """ADVICE r02: a windowed advanced-search seed must chain its stage-6
+    continuations WITH the advancedfilter/starttime/endtime params (the
+    reference sends them on every page, `独立版/WeiboTopicScrapy.py:438-446`)
+    and with the real page number parsed from anywhere in the query string —
+    engine order/seen vs the simulator, plus direct URL-shape assertions."""
+    import re as _re
+
+    from wss_spark.crawl.discover import search_window_urls
+    from wss_spark.schema import PAGES
+    from wss_spark.synth import render_windowed_search_pages
+
+    win = search_window_urls(spark, "topic0", "2023-5-1-0", "2023-5-2-0")
+    wrows = win.select("starttime", "endtime", "url").collect()
+    windows = [(r["starttime"], r["endtime"]) for r in wrows]
+    seeds = [r["url"] for r in wrows]
+    assert len(seeds) == 2  # two day-sliced windows
+    rows = render_windowed_search_pages(0, 10, 42, windows)
+    pages = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        PAGES,
+    )
+    cfg = CrawlConfig(budget=4, n_buckets=N_BUCKETS, m_bits=M_BITS,
+                      checkpoint_dir=str(tmp_path / "win"))
+    res = run_crawl(spark, pages, seeds, cfg)
+    sim_order, sim_seen = simulate({r["url"]: r["html"] for r in rows}, seeds, 4)
+    assert visit_order(res.fetch_log) == sim_order
+    assert {r[0] for r in res.seen.select("canon_url").collect()} == sim_seen
+    fetched = [
+        r[0]
+        for r in res.fetch_log.filter(F.col("stage") == 6).select("canon_url").collect()
+    ]
+    assert fetched, "stage-6 windowed continuations must exist"
+    assert all("advancedfilter=1" in u and "starttime=" in u for u in fetched)
+    assert any("page=2" in u for u in fetched)
+    # each window seeded its own independent chain
+    starts = {_re.search(r"starttime=([^&]+)", u).group(1) for u in fetched}
+    assert starts == {st for st, _ in windows}
+
+
 def test_canonicalize_parity(spark):
     """Spark canonicalizer == simulator canonicalizer on every url family."""
     urls = [

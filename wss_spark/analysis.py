@@ -36,13 +36,22 @@ def add_user_links(df: DataFrame, mapping: DataFrame,
     A name with no hit resolves to uid -1 — the reference writes
     ``https://weibo.com/u/-1`` too (`:80-88`). Its 3-consecutive-miss cookie
     bailout is operational pacing, not dataflow, and has no engine analog.
+
+    ADVICE r02 hardening: an existing ``link_col`` is never blanked when only
+    ``finish_col`` is missing, and the mapping is deduped to first-hit-per-
+    name (the reference takes the first search hit, `SearchUser.py:72-79`)
+    so a unioned multi-run mapping cannot fan todo rows out.
     """
     if finish_col not in df.columns:
-        df = df.withColumn(finish_col, F.lit(False)).withColumn(link_col, F.lit(""))
+        df = df.withColumn(finish_col, F.lit(False))
+        if link_col not in df.columns:
+            df = df.withColumn(link_col, F.lit(""))
     done = df.filter(F.col(finish_col))
     todo = df.filter(~F.col(finish_col)).drop(link_col)
-    m = mapping.select(
-        F.col("query_name").alias(name_col), F.col("uid").alias("_uid")
+    m = (
+        mapping.groupBy("query_name")
+        .agg(F.min("uid").alias("uid"))
+        .select(F.col("query_name").alias(name_col), F.col("uid").alias("_uid"))
     )
     resolved = (
         todo.join(F.broadcast(m), name_col, "left")
@@ -56,6 +65,75 @@ def add_user_links(df: DataFrame, mapping: DataFrame,
         .drop("_uid")
     )
     return done.unionByName(resolved.select(*done.columns))
+
+
+# json.dumps key order of the reference's profile dict
+# (`独立版/WeiboUserInfoSpider.py:106-115`); ``user_link`` is appended after
+# (`:146`), so it renders last.
+USER_INFO_FIELDS = [
+    "sunshine_credit_level", "school", "location", "gender",
+    "birthday", "created_at", "description", "followers_num",
+]
+
+
+def add_user_info(df: DataFrame, profiles: DataFrame, user_col: str,
+                  user_info_col: str = "user_info") -> DataFrame:
+    """J5/F14 — the ``user_info`` JSON-in-a-cell enrichment with
+    ``init``-sentinel work skipping, the distributed
+    `独立版/WeiboUserInfoSpider.py:122-153` (dfAddUserInfo):
+
+    - a missing ``user_info`` column is initialized to the ``'init'``
+      sentinel (`:130-133`);
+    - rows whose cell is NOT ``'init'`` are already enriched and skipped
+      untouched (`:137-139`, the work-skip that makes re-runs incremental);
+    - the uid is cut from the user-link column — strip from the last ``?``,
+      then take the segment after the last ``/`` (`:141-143`);
+    - the reference's per-row profile fetch becomes a broadcast join against
+      a profiles dim table (uid → the 8 detail fields of `:106-115`);
+    - the cell is ``to_json(struct(...))`` in the reference's exact
+      ``json.dumps`` key order with nulls KEPT (``ignoreNullFields=false``
+      ⇔ ``json.dumps`` renders ``None`` as ``null``), ``user_link`` last
+      (`:146-148`);
+    - a banned/deleted uid (the HTTP-400 branch, `:76-81`) renders the
+      ``errorMsg`` cell instead; a uid with no profile row keeps ``'init'``
+      (the reference breaks and retries later — same rerun semantics).
+    """
+    if user_info_col not in df.columns:
+        df = df.withColumn(user_info_col, F.lit("init"))
+    done = df.filter(F.col(user_info_col) != "init")
+    todo = df.filter(F.col(user_info_col) == "init")
+
+    link_stripped = F.substring_index(F.col(user_col), "?", 1)
+    dim_cols = [c for c in USER_INFO_FIELDS if c in profiles.columns]
+    dim = profiles.select(
+        F.col("uid").alias("_uid"),
+        F.lit(True).alias("_hit"),
+        (F.col("banned") if "banned" in profiles.columns else F.lit(False)).alias("_banned"),
+        *dim_cols,
+    )
+    joined = todo.withColumn(
+        "_uid", F.substring_index(link_stripped, "/", -1)
+    ).join(F.broadcast(dim), "_uid", "left")
+
+    ok_cell = F.to_json(
+        F.struct(*[F.col(c) for c in dim_cols], link_stripped.alias("user_link")),
+        {"ignoreNullFields": "false"},
+    )
+    banned_cell = F.to_json(
+        F.struct(
+            F.lit("用户可能注销或者封号").alias("errorMsg"),
+            F.lit(None).cast("string").alias("location"),
+            F.concat(F.lit("https://weibo.com/"), F.col("_uid")).alias("user_link"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    enriched = joined.withColumn(
+        user_info_col,
+        F.when(F.col("_banned"), banned_cell)
+        .when(F.col("_hit"), ok_cell)
+        .otherwise(F.lit("init")),
+    ).drop("_uid", "_hit", "_banned", *dim_cols)
+    return done.unionByName(enriched.select(*done.columns))
 
 
 def enrich_comments_with_users(comments: DataFrame, users: DataFrame) -> DataFrame:

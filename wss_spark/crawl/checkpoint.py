@@ -16,11 +16,20 @@ On a real cluster the same layout maps 1:1 onto Iceberg tables
 Layout::
 
     ckpt/
-      snapshots/wave=00007/{frontier,seen,bloom}/   # full state to resume
+      snapshots/wave=00007/{frontier,bloom}/        # per-wave state to resume
       snapshots/wave=00007/_COMMIT.json             # manifest, written last
+      seen_keys/wave=00007/bucket=NN/               # APPEND-ONLY exact seen set
       logs/fetch_log/wave=00007/                    # append-only lineage
       logs/metrics/wave=00007/
       logs/entities/wave=00007/                     # tall PARSED rows
+
+The exact URL-seen set is NOT part of the snapshot: rewriting it per wave
+would be an O(total-ever-crawled) cost per wave (the r02 scale liability).
+Instead each wave appends only its newly-seen keys, hash-bucket partitioned
+(`bucket = pmod(xxhash64(canon_url, salt), B)`, same bucketing as the bloom
+state), and readers prune to (wave ≤ resume point) × (buckets present in the
+bloom-maybe slice) — both are directory-level partition prunes, so a wave's
+exact anti-join reads O(maybe-slice buckets), never the full history.
 """
 
 from __future__ import annotations
@@ -43,11 +52,10 @@ class Snapshot:
     manifest: dict
 
 
-def write_snapshot(root: str, wave: int, frontier: DataFrame, seen: DataFrame,
+def write_snapshot(root: str, wave: int, frontier: DataFrame,
                    bloom: DataFrame, stats: dict) -> Snapshot:
     d = _wave_dir(root, wave)
     frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
-    seen.write.mode("overwrite").parquet(os.path.join(d, "seen"))
     bloom.write.mode("overwrite").parquet(os.path.join(d, "bloom"))
     manifest = {"wave": wave, "committed_at": time.time(), **stats}
     tmp = os.path.join(d, "_COMMIT.json.tmp")
@@ -84,9 +92,56 @@ def read_state(spark: SparkSession, root: str, wave: int):
     d = _wave_dir(root, wave)
     return (
         spark.read.parquet(os.path.join(d, "frontier")),
-        spark.read.parquet(os.path.join(d, "seen")),
         spark.read.parquet(os.path.join(d, "bloom")),
     )
+
+
+# ---------------------------------------------------------------------------
+# append-only exact-seen key store (bucket-partitioned, wave-versioned)
+# ---------------------------------------------------------------------------
+
+
+def _seen_root(root: str) -> str:
+    return os.path.join(root, "seen_keys")
+
+
+def write_seen_keys(root: str, wave: int, newly_seen: DataFrame) -> None:
+    """Append one wave's newly-seen keys as ``seen_keys/wave=NNNNN/bucket=B/``.
+
+    ``newly_seen`` carries (bucket, url_hash, canon_url). Re-running a wave
+    (crash before its snapshot committed) overwrites its own directory with
+    the same deterministic rows — idempotent, like write_log. The
+    ``repartition("bucket")`` bounds output to one file per touched bucket
+    (the write itself shuffles only this wave's narrow keys, never history).
+    On a real cluster this is an Iceberg append to a table partitioned by
+    ``bucket(B, canon_url)``."""
+    (
+        newly_seen.select("bucket", "url_hash", "canon_url")
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(_seen_root(root), f"wave={wave:05d}"))
+    )
+
+
+def read_seen_keys(spark: SparkSession, root: str, up_to_wave: int,
+                   buckets: list[int] | None = None) -> DataFrame | None:
+    """Exact seen keys with directory-level pruning: ``wave <= up_to_wave``
+    (ignores appends from an uncommitted, crashed wave) and, when given,
+    ``bucket IN buckets`` (only the bloom-maybe slice's buckets are read)."""
+    from pyspark.sql import functions as F
+
+    sr = _seen_root(root)
+    if not os.path.isdir(sr):
+        return None
+    try:
+        df = spark.read.parquet(sr)
+    except Exception:
+        return None  # no committed files yet
+    df = df.filter(F.col("wave") <= up_to_wave)
+    if buckets is not None:
+        df = df.filter(F.col("bucket").isin([int(b) for b in buckets]))
+    return df.select("bucket", "url_hash", "canon_url")
 
 
 def read_log(spark: SparkSession, root: str, name: str,

@@ -109,15 +109,24 @@ def discover(parsed: DataFrame) -> DataFrame:
     is_repost_page = F.col("url").rlike(r"^https?://[^/]+/repost/")
     is_search_page = F.col("url").rlike(r"^https?://[^/]+/search/mblog\?")
     is_hotflow_page = F.col("url").rlike(r"^https?://[^/]+/comments/hotflow\?")
+    # search continuation keeps the FULL original query string (advanced
+    # windows carry advancedfilter/starttime/endtime on every page,
+    # `独立版/WeiboTopicScrapy.py:438-446`): increment the page param in
+    # place, or append one if the seed URL had none.
+    next_page_str = (F.col("page") + F.lit(1)).cast("string")
+    search_next_url = F.when(
+        F.col("url").rlike(r"[?&]page=\d+"),
+        F.regexp_replace(
+            F.col("url"), F.lit(r"([?&]page=)\d+"), F.concat(F.lit("$1"), next_page_str)
+        ),
+    ).otherwise(F.concat(F.col("url"), F.lit("&page="), next_page_str))
     page_cands = F.array(
         F.when(is_repost_page & (F.col("n_blocks") > 0),
                _cand(4, F.col("page") + 1,
                      F.format_string("https://%s/repost/%s?page=%d",
                                      base_host, F.col("root_id"), F.col("page") + F.lit(1)))).otherwise(null_c),
         F.when(is_search_page & (F.col("n_blocks") > 0),
-               _cand(6, F.col("page") + 1,
-                     F.format_string("https://%s/search/mblog?keyword=%s&page=%d",
-                                     base_host, F.col("root_id"), F.col("page") + F.lit(1)))).otherwise(null_c),
+               _cand(6, F.col("page") + 1, search_next_url)).otherwise(null_c),
         F.when(is_hotflow_page & F.col("cursor").isNotNull() & (F.col("cursor") != "0"),
                _cand(7, F.col("_src_page") + 1,
                      F.format_string("https://%s/comments/hotflow?id=%s&mid=%s&max_id=%s&max_id_type=0",

@@ -123,11 +123,6 @@ def run_crawl(
     # fetch join then satisfies its distribution from the cache — only the
     # narrow frontier side moves per wave. This is the single-box stand-in
     # for a url-bucketed Iceberg pages table on a cluster.
-    # Explicitly hash-partition by url BEFORE persisting: the html payload
-    # (the heavy bytes) is shuffled exactly once here, and every wave's
-    # fetch join then satisfies its distribution from the cache — only the
-    # narrow frontier side moves per wave. This is the single-box stand-in
-    # for a url-bucketed Iceberg pages table on a cluster.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pages_idx = pages.select("url", "html").repartition(n_part, "url")
     if cfg.dedup_pages:
@@ -136,17 +131,21 @@ def run_crawl(
 
     snap = checkpoint.latest_snapshot(root) if resume else None
     if snap is not None:
-        frontier, seen, bloom_state = checkpoint.read_state(spark, root, snap.wave)
+        frontier, bloom_state = checkpoint.read_state(spark, root, snap.wave)
         wave = snap.wave + 1
+        # exact seen = union of committed per-wave key appends ≤ the snapshot
+        # wave; stale appends from a crashed wave > snap.wave are ignored
+        # (and deterministically overwritten when that wave re-runs).
+        last_seen_wave = snap.wave
         metrics: list[dict] = []
     else:
         if isinstance(seed_urls, DataFrame):
             frontier = seeds_frontier_from_df(seed_urls)
         else:
             frontier = seeds_to_frontier(spark, seed_urls)
-        seen = spark.createDataFrame([], SEEN_URLS)
         bloom_state = bloom.empty_state(spark, cfg.n_buckets)
         wave = 0
+        last_seen_wave = -1
         metrics = []
 
     fetch_log_parts: list[DataFrame] = []
@@ -173,21 +172,40 @@ def run_crawl(
             _dedup_in_wave(frontier), "canon_url", cfg.n_buckets, cfg.salt
         )
 
-        # 2. seen filter: bloom prefilter → exact anti-join on the maybe slice
-        flagged = bloom.prefilter(cand, bloom_state, cfg.m_bits, cfg.bloom_k)
+        # 2. seen filter: bloom prefilter → exact anti-join on the maybe
+        # slice ONLY, against the append-only bucket-partitioned key store.
+        # Two prunes keep the exact join O(maybe-slice): the bloom removes
+        # the definitely-new majority, and the key-store scan reads only the
+        # buckets the maybe slice actually touches (directory-level prune).
+        # ``flagged`` is persisted because three consumers branch off it
+        # (bucket probe, definitely_new, maybe) — the cogroup bloom probe
+        # must run once per wave.
+        flagged = bloom.prefilter(cand, bloom_state, cfg.m_bits, cfg.bloom_k).persist()
         definitely_new = flagged.filter(~F.col("maybe_seen"))
         maybe = flagged.filter(F.col("maybe_seen"))
-        confirmed_new = maybe.join(
-            seen.select("bucket", "url_hash", "canon_url"),
-            on=["bucket", "url_hash", "canon_url"],
-            how="left_anti",
-        )
+        confirmed_new = maybe
+        if last_seen_wave >= 0:
+            maybe_buckets = [r[0] for r in maybe.select("bucket").distinct().collect()]
+            if maybe_buckets:
+                seen_slice = checkpoint.read_seen_keys(
+                    spark, root, last_seen_wave, maybe_buckets
+                )
+                if seen_slice is not None:
+                    confirmed_new = maybe.join(
+                        seen_slice,
+                        on=["bucket", "url_hash", "canon_url"],
+                        how="left_anti",
+                    )
         new = definitely_new.unionByName(confirmed_new).drop("maybe_seen")
 
         # 3. robots gate (blocked rows are marked seen, logged, never fetched)
         if robots is not None:
             allowed = robots_gate(new, robots)
-            blocked = new.join(allowed.select("canon_url"), "canon_url", "left_anti")
+            # persisted: three consumers (fetch-log 403 rows, seen-key
+            # append, count) must not re-run the anti-join
+            blocked = new.join(
+                allowed.select("canon_url"), "canon_url", "left_anti"
+            ).persist()
         else:
             allowed, blocked = new, None
 
@@ -222,7 +240,7 @@ def run_crawl(
         # ~10 union branches over `parsed`, and racing legs of one job can
         # each recompute partitions before the lazy cache lands — the Arrow
         # extraction (the wave's dominant cost) must run exactly once.
-        parsed.count()
+        n_parsed = parsed.count()
         _mark("extract", _since)
         if cfg.defer_logs:
             entity_parts.append(parsed)
@@ -266,18 +284,26 @@ def run_crawl(
         else:
             checkpoint.write_log(root, "fetch_log", wave, fetch_log)
 
-        # 7. state update: seen ∪ admitted ∪ blocked; bloom OR-in
+        # 7. state update: APPEND this wave's newly-seen keys (admitted ∪
+        # blocked) to the bucket-partitioned store — O(wave), never
+        # O(total-crawled) — then OR the same keys into the bloom.
+        n_blocked = 0
         newly_seen = admitted.select("bucket", "url_hash", "canon_url")
         if blocked is not None:
+            n_blocked = blocked.count()
             newly_seen = newly_seen.unionByName(
                 blocked.select("bucket", "url_hash", "canon_url")
             )
-        seen_next = seen.unionByName(newly_seen)
+        checkpoint.write_seen_keys(root, wave, newly_seen)
+        last_seen_wave = wave
         bloom_next = bloom.update(bloom_state, newly_seen, cfg.m_bits, cfg.bloom_k)
 
         # 8. discover next wave; deferred rows re-enter unchanged
+        n_deferred = 0
         next_frontier = discover(parsed)
         if deferred is not None:
+            deferred = deferred.persist()
+            n_deferred = deferred.count()
             next_frontier = deferred.select(
                 *[f.name for f in frontier.schema.fields]
             ).unionByName(next_frontier)
@@ -285,20 +311,22 @@ def run_crawl(
         # 9. snapshot every ``checkpoint_every`` waves (write + read back,
         # truncating DataFrame lineage so plans never grow across waves);
         # in-between waves just persist — lineage depth stays bounded by the
-        # snapshot cadence.
+        # snapshot cadence. The exact seen set is NOT rewritten here — it is
+        # already durable via the per-wave key append (step 7).
         if wave % cfg.checkpoint_every == 0:
             checkpoint.write_snapshot(
-                root, wave, next_frontier, seen_next, bloom_next,
+                root, wave, next_frontier, bloom_next,
                 {"n_frontier": n_frontier, "n_admitted": n_admitted},
             )
-            next_frontier, seen_next, bloom_next = checkpoint.read_state(spark, root, wave)
+            next_frontier, bloom_next = checkpoint.read_state(spark, root, wave)
         else:
             # localCheckpoint TRUNCATES the logical plan (persist alone does
             # not): without it the wave-over-wave plan nests multiplicatively
             # (discover() unions six branches over the previous wave's plan)
-            # and Catalyst analysis time explodes after a few waves.
+            # and Catalyst analysis time explodes after a few waves. Both
+            # states here are O(wave) (frontier) / O(n_buckets) (bloom) —
+            # nothing cumulative is rewritten.
             next_frontier = next_frontier.localCheckpoint(eager=True)
-            seen_next = seen_next.localCheckpoint(eager=True)
             bloom_next = bloom_next.localCheckpoint(eager=True)
         last_committed = wave
         _mark("discover_state", _since)
@@ -307,13 +335,21 @@ def run_crawl(
             {
                 "wave": wave,
                 "n_frontier": int(n_frontier),
+                "n_new": int(n_admitted + n_blocked + n_deferred),
                 "n_admitted": int(n_admitted),
+                "n_deferred": int(n_deferred),
+                "n_entities": int(n_parsed),
                 "wall_s": time.time() - t0,
                 "phases": phase_t,
             }
         )
 
         frontier.unpersist()
+        flagged.unpersist()
+        if blocked is not None:
+            blocked.unpersist()
+        if deferred is not None:
+            deferred.unpersist()
         if not cfg.defer_logs:
             # deferred logs still reference admitted/parsed caches; otherwise
             # drop them
@@ -321,9 +357,8 @@ def run_crawl(
             parsed.unpersist()
         # the new states are eagerly materialized (snapshot or
         # localCheckpoint), so the previous wave's cached state can go
-        old_seen, old_bloom = seen, bloom_state
-        frontier, seen, bloom_state = next_frontier, seen_next, bloom_next
-        old_seen.unpersist()
+        old_bloom = bloom_state
+        frontier, bloom_state = next_frontier, bloom_next
         old_bloom.unpersist()
         if n_admitted == 0 and n_frontier > 0:
             break  # everything left is blocked/unseen-able; avoid spinning
@@ -333,7 +368,7 @@ def run_crawl(
     # its true final state even off the snapshot cadence
     if metrics and (metrics[-1]["wave"] % cfg.checkpoint_every != 0):
         checkpoint.write_snapshot(
-            root, metrics[-1]["wave"], frontier, seen, bloom_state,
+            root, metrics[-1]["wave"], frontier, bloom_state,
             {"n_frontier": -1, "n_admitted": metrics[-1]["n_admitted"]},
         )
     if metrics:
@@ -341,7 +376,8 @@ def run_crawl(
             root, "metrics", metrics[-1]["wave"],
             spark.createDataFrame(
                 [
-                    (m["wave"], m["n_frontier"], -1, m["n_admitted"], 0, -1, m["wall_s"])
+                    (m["wave"], m["n_frontier"], m["n_new"], m["n_admitted"],
+                     m["n_deferred"], m["n_entities"], m["wall_s"])
                     for m in metrics
                 ],
                 _METRICS_SCHEMA,
@@ -359,12 +395,19 @@ def run_crawl(
         pages_idx.unpersist()
         fetch_log_all = checkpoint.read_log(spark, root, "fetch_log", up_to_wave=last_committed)
         entities_all = checkpoint.read_log(spark, root, "entities", up_to_wave=last_committed)
+    seen_all = (
+        checkpoint.read_seen_keys(spark, root, last_seen_wave)
+        if last_seen_wave >= 0
+        else None
+    )
+    if seen_all is None:
+        seen_all = spark.createDataFrame([], SEEN_URLS)
     return CrawlResult(
         waves=wave,
         checkpoint_dir=root,
         fetch_log=fetch_log_all,
         entities=entities_all,
-        seen=seen,
+        seen=seen_all,
         metrics=metrics,
     )
 

@@ -65,11 +65,16 @@ def split_by_budget(frontier: DataFrame, budget: int, n_salts: int = 32,
     """(admitted, deferred): deferred rows re-enter the next wave unchanged.
 
     Deferred is computed as an anti-join on canon_url (a key) so the two
-    halves partition the frontier exactly.
+    halves partition the frontier exactly. The admitted side is explicitly
+    broadcast: it is bounded by budget × n_hosts per wave (small by
+    construction), while the frontier side is the 10^10-row table — without
+    the hint Catalyst may plan a full shuffle of the frontier just to split
+    out the deferred rows (PLANS.md `split_by_budget` proves the
+    BroadcastHashJoin LeftAnti).
     """
     admitted = per_host_topk(frontier, budget, n_salts, order_cols)
     deferred = frontier.join(
-        admitted.select("canon_url"), on="canon_url", how="left_anti"
+        F.broadcast(admitted.select("canon_url")), on="canon_url", how="left_anti"
     )
     return admitted, deferred
 

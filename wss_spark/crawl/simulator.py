@@ -86,8 +86,14 @@ def _discover(url: str, html: bytes, now: datetime,
                 phost = _host(h["publisher_href"])
                 out.append((5, 1, f"https://{phost}/{h['publisher_uid']}/info"))
         if hits:
-            out.append((6, page + 1,
-                        f"https://{host}/search/mblog?keyword={rid}&page={page + 1}"))
+            # continuation keeps the FULL query string (advanced windows send
+            # advancedfilter/starttime/endtime on every page,
+            # `独立版/WeiboTopicScrapy.py:438-446`); only the page param moves
+            if re.search(r"[?&]page=\d+", url):
+                nurl = re.sub(r"([?&]page=)\d+", rf"\g<1>{page + 1}", url)
+            else:
+                nurl = f"{url}&page={page + 1}"
+            out.append((6, page + 1, nurl))
     elif kind == "api_comments":
         cur = kernel.parse_api_comments(html)["max_id"]
         if cur is not None and cur != "0":

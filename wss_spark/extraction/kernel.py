@@ -860,8 +860,13 @@ _URL_REPOST = re.compile(r"^https?://[^/]+/repost/([^/?#]+)(?:\?page=(\d+))?")
 _URL_ALBUM = re.compile(r"^https?://[^/]+/mblog/picAll/([^/?#]+)")
 _URL_INFO = re.compile(r"^https?://[^/]+/(\d+)/info")
 _URL_PROFILE = re.compile(r"^https?://[^/]+/(\d+)/profile(?:\?page=(\d+))?")
-_URL_SEARCH = re.compile(r"^https?://[^/]+/search/mblog\?keyword=([^&#]+)(?:&page=(\d+))?")
+# keyword may be followed by other params (advancedfilter/starttime/endtime
+# windows, `独立版/WeiboTopicScrapy.py:438-446`); the page param can sit
+# anywhere in the query string, so it is matched separately.
+_URL_SEARCH = re.compile(r"^https?://[^/]+/search/mblog\?(?:[^#]*&)?keyword=([^&#]+)")
+_URL_PAGE_PARAM = re.compile(r"[?&]page=(\d+)")
 _URL_ARTICLE = re.compile(r"^https?://[^/]+/article/([^/?#]+)")
+_URL_SUPERTOPIC = re.compile(r"^https?://[^/]+/p/aj/proxy\?(?:[^#]*&)?page_id=([^&#]+)")
 _URL_USERSEARCH = re.compile(r"^https?://s\.[^/]+/user\?q=([^&#]+)")
 _URL_HOTFLOW = re.compile(r"^https?://[^/]+/comments/hotflow\?id=([^&#]+)")
 
@@ -890,7 +895,8 @@ def classify_url(url: str) -> tuple[str, str | None, int]:
         return "info", m.group(1), 1
     m = _URL_SEARCH.match(url)
     if m:
-        return "search", m.group(1), int(m.group(2) or 1)
+        pm = _URL_PAGE_PARAM.search(url)
+        return "search", m.group(1), int(pm.group(1)) if pm else 1
     m = _URL_ARTICLE.match(url)
     if m:
         return "article", m.group(1), 1

