@@ -63,41 +63,52 @@ def main() -> None:
     # query runs first and misreports it (VERDICT r01 §wrong-4)
     _materialize(catalog.QUERIES["a1_pricing_summary"].fn(spark, sf_dir))
 
+    # min-of-N per query: this host's identical back-to-back runs vary up to
+    # 3x (BASELINE.md hypervisor probe), so a single sample is hypervisor
+    # noise, not engine signal (VERDICT r02 next-round #8)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = catalog.QUERIES[name]
-        t0 = time.time()
-        _materialize(q.fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.time()
+            _materialize(q.fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # crawl throughput: URLs fetched+deduped/sec (BASELINE.json metric)
     n_targets = max(16, int(CRAWL_TARGETS_PER_SF * sf))
     pages = build_pages_df(spark, n_targets, seed=42).persist()
     pages.count()
-    cfg = CrawlConfig(
-        budget=None,  # throughput mode: politeness budget not binding
-        n_buckets=64,
-        m_bits=1 << 20,
-        checkpoint_every=4,
-        defer_logs=True,
-        dedup_pages=False,  # synthetic pages table is canonical (unique url)
-        checkpoint_dir=tempfile.mkdtemp(prefix="wss_bench_"),
-    )
-    t0 = time.time()
-    res = run_crawl(spark, pages, seed_list(n_targets, seed=42), cfg)
-    n_urls = res.fetch_log.count()
-    crawl_s = time.time() - t0
+    crawl_s = float("inf")
+    for _ in range(n_runs):
+        cfg = CrawlConfig(
+            budget=None,  # throughput mode: politeness budget not binding
+            n_buckets=64,
+            m_bits=1 << 20,
+            checkpoint_every=4,
+            defer_logs=True,
+            dedup_pages=False,  # synthetic pages table is canonical (unique url)
+            checkpoint_dir=tempfile.mkdtemp(prefix="wss_bench_"),
+        )
+        t0 = time.time()
+        res = run_crawl(spark, pages, seed_list(n_targets, seed=42), cfg)
+        n_urls = res.fetch_log.count()
+        crawl_s = min(crawl_s, time.time() - t0)
     timings["crawl_pipeline"] = round(crawl_s, 3)
     pages.unpersist()
 
-    total = time.time() - t_total0
+    wall = time.time() - t_total0
     out = {
         "metric": "total_bench_seconds",
-        "value": round(total, 3),
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        "n": n_runs,
+        "wall_s": round(wall, 3),
         "crawl_urls": int(n_urls),
         "crawl_waves": res.waves,
         "crawl_urls_per_sec": round(n_urls / crawl_s, 2),

@@ -203,6 +203,71 @@ def test_windowed_search_chain_preserves_window_params(spark, tmp_path):
     assert starts == {st for st, _ in windows}
 
 
+def test_supertopic_chain_matches_simulator(spark, tmp_path):
+    """Supertopic active-user family (`独立版/WeiboSuperTopicActiveUserSpider
+    .py`): since_id feed chains (stage 8) through the full crawl — engine
+    order/seen vs the simulator, continuation URL shape, and the first-seen
+    active-uid dedup vs the model-derived expectation."""
+    import re as _re
+
+    from wss_spark.synth import (
+        build_supertopic_pages_df,
+        expected_supertopic_users,
+        render_supertopic_pages,
+        supertopic_page_id,
+        supertopic_url,
+    )
+
+    n_topics = 3
+    pages = build_supertopic_pages_df(spark, n_topics, seed=42)
+    seeds = [
+        supertopic_url(supertopic_page_id(i), 2, None) for i in range(n_topics)
+    ]
+    page_map = {}
+    for i in range(n_topics):
+        for r in render_supertopic_pages(i, 42):
+            page_map[r["url"]] = r["html"]
+    cfg = CrawlConfig(budget=5, n_buckets=N_BUCKETS, m_bits=M_BITS,
+                      checkpoint_dir=str(tmp_path / "st"))
+    res = run_crawl(spark, pages, seeds, cfg)
+    sim_order, sim_seen = simulate(page_map, seeds, 5)
+    assert visit_order(res.fetch_log) == sim_order
+    assert {r[0] for r in res.seen.select("canon_url").collect()} == sim_seen
+    # stage-8 continuations carry an incremented page and a since_id
+    conts = [
+        r[0]
+        for r in res.fetch_log.filter(F.col("stage") == 8).select("canon_url").collect()
+    ]
+    assert conts, "stage-8 supertopic continuations must exist"
+    assert all(_re.search(r"[?&]since_id=\d+", u) for u in conts)
+    assert all(int(_re.search(r"[?&]page=(\d+)", u).group(1)) >= 3 for u in conts)
+    # every chain ends on its empty stop page (T6): one fetched page per
+    # topic has no photos
+    photos = res.entities.filter(F.col("kind") == "supertopic_photo")
+    from pyspark.sql.window import Window
+
+    w_first = Window.partitionBy("root_id", "user_id").orderBy("page", "block_index")
+    w_seq = Window.partitionBy("root_id").orderBy("page", "block_index")
+    got = sorted(
+        (r["root_id"], r["seq"], f"https://weibo.com/u/{r['user_id']}")
+        for r in photos.withColumn("_rn", F.row_number().over(w_first))
+        .filter(F.col("_rn") == 1)
+        .withColumn("seq", F.row_number().over(w_seq))
+        .select("root_id", "seq", "user_id")
+        .collect()
+    )
+    assert got == sorted(expected_supertopic_users(n_topics, 42))
+
+
+def test_parse_supertopic_tolerates_garbage():
+    from wss_spark.extraction.kernel import parse_supertopic
+
+    for bad in (None, b"", b"<<<garbage", b'{"ok":1}', b'{"data": 5}',
+                b'{"data": "<div>no photos</div>"}'):
+        out = parse_supertopic(bad)
+        assert out["photos"] == [] and out["since_id"] is None
+
+
 def test_canonicalize_parity(spark):
     """Spark canonicalizer == simulator canonicalizer on every url family."""
     urls = [

@@ -109,6 +109,7 @@ def discover(parsed: DataFrame) -> DataFrame:
     is_repost_page = F.col("url").rlike(r"^https?://[^/]+/repost/")
     is_search_page = F.col("url").rlike(r"^https?://[^/]+/search/mblog\?")
     is_hotflow_page = F.col("url").rlike(r"^https?://[^/]+/comments/hotflow\?")
+    is_supertopic_page = F.col("url").rlike(r"^https?://[^/]+/p/aj/proxy\?")
     # search continuation keeps the FULL original query string (advanced
     # windows carry advancedfilter/starttime/endtime on every page,
     # `独立版/WeiboTopicScrapy.py:438-446`): increment the page param in
@@ -120,6 +121,17 @@ def discover(parsed: DataFrame) -> DataFrame:
             F.col("url"), F.lit(r"([?&]page=)\d+"), F.concat(F.lit("$1"), next_page_str)
         ),
     ).otherwise(F.concat(F.col("url"), F.lit("&page="), next_page_str))
+    supertopic_paged = F.regexp_replace(
+        F.col("url"), F.lit(r"([?&]page=)\d+"), F.concat(F.lit("$1"), next_page_str)
+    )
+    supertopic_next_url = F.when(
+        F.col("url").rlike(r"[?&]since_id=[^&]*"),
+        F.regexp_replace(
+            supertopic_paged,
+            F.lit(r"([?&]since_id=)[^&]*"),
+            F.concat(F.lit("$1"), F.col("cursor")),
+        ),
+    ).otherwise(F.concat(supertopic_paged, F.lit("&since_id="), F.col("cursor")))
     page_cands = F.array(
         F.when(is_repost_page & (F.col("n_blocks") > 0),
                _cand(4, F.col("page") + 1,
@@ -131,6 +143,13 @@ def discover(parsed: DataFrame) -> DataFrame:
                _cand(7, F.col("_src_page") + 1,
                      F.format_string("https://%s/comments/hotflow?id=%s&mid=%s&max_id=%s&max_id_type=0",
                                      base_host, F.col("root_id"), F.col("root_id"), F.col("cursor")))).otherwise(null_c),
+        # supertopic since_id feed chain (8): resend the same params with the
+        # page incremented in place and since_id replaced/appended — the
+        # reference reuses one params dict per request
+        # (`独立版/WeiboSuperTopicActiveUserSpider.py:150-155`); an empty
+        # album page (n_blocks=0) stops the chain (`:122-125`, T6)
+        F.when(is_supertopic_page & (F.col("n_blocks") > 0) & F.col("cursor").isNotNull(),
+               _cand(8, F.col("page") + 1, supertopic_next_url)).otherwise(null_c),
     )
 
     # --- search-hit rows: hit album (2), publisher info page (5, host from

@@ -100,6 +100,18 @@ def _discover(url: str, html: bytes, now: datetime,
             out.append((7, page + 1,
                         f"https://{host}/comments/hotflow?id={rid}&mid={rid}"
                         f"&max_id={cur}&max_id_type=0"))
+    elif kind == "supertopic":
+        st = kernel.parse_supertopic(html)
+        if st["photos"] and st["since_id"] is not None:
+            # resend the same params with page incremented in place and
+            # since_id replaced/appended (`WeiboSuperTopicActiveUserSpider
+            # .py:150-155`); empty album page stops the chain (`:122-125`)
+            nurl = re.sub(r"([?&]page=)\d+", rf"\g<1>{page + 1}", url)
+            if re.search(r"[?&]since_id=[^&]*", nurl):
+                nurl = re.sub(r"([?&]since_id=)[^&]*", rf"\g<1>{st['since_id']}", nurl)
+            else:
+                nurl = f"{nurl}&since_id={st['since_id']}"
+            out.append((8, page + 1, nurl))
     return out
 
 

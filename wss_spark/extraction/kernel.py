@@ -906,6 +906,10 @@ def classify_url(url: str) -> tuple[str, str | None, int]:
     m = _URL_HOTFLOW.match(url)
     if m:
         return "api_comments", m.group(1), 1
+    m = _URL_SUPERTOPIC.match(url)
+    if m:
+        pm = _URL_PAGE_PARAM.search(url)
+        return "supertopic", m.group(1), int(pm.group(1)) if pm else 1
     return "other", None, 1
 
 
@@ -948,3 +952,47 @@ def parse_api_comments(html: str | bytes | None) -> dict:
         for cc in c.get("comments") or []:
             out.append(info(cc))
     return {"max_id": str(max_id) if max_id is not None else None, "comments": out}
+
+
+def parse_supertopic(html: str | bytes | None) -> dict:
+    """Stored supertopic album payload → {since_id, photos[]}, replaying
+    `独立版/WeiboSuperTopicActiveUserSpider.py:117-146` (parseHtml): the JSON
+    ``data`` cell is an HTML fragment; each ``a.ph_ar_box`` anchor's
+    action-data query string carries uid/since_id/mid/pid; the NEXT request's
+    since_id is the FIRST photo's (`:131-133`); pic_url is rebuilt from pid
+    (`:137`). Tolerant of junk/missing payloads like every parser here."""
+    import json as _json
+
+    if html is None:
+        return {"since_id": None, "photos": []}
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", "replace")
+    try:
+        payload = _json.loads(html)
+    except ValueError:
+        return {"since_id": None, "photos": []}
+    frag = payload.get("data")
+    if not isinstance(frag, str):
+        return {"since_id": None, "photos": []}
+    root = parse_html(frag)
+    photos: list[dict] = []
+    since_id: str | None = None
+    for a in root.find_all("a", cls="ph_ar_box"):
+        params: dict[str, str] = {}
+        for kv in (a.attrs.get("action-data") or "").split("&"):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                params[k] = v
+        if "uid" not in params:
+            continue
+        p = {
+            "uid": params.get("uid", ""),
+            "since_id": params.get("since_id", ""),
+            "mid": params.get("mid", ""),
+            "pid": params.get("pid", ""),
+            "pic_url": f"https://wx2.sinaimg.cn/mw690/{params.get('pid', '')}.jpg",
+        }
+        if since_id is None:
+            since_id = p["since_id"]
+        photos.append(p)
+    return {"since_id": since_id, "photos": photos}

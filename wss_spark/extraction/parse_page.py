@@ -255,6 +255,21 @@ def _rows_for_page(url: str, html, now: datetime) -> list[list]:
                cursor=parsed_api["max_id"])
         )
         return out
+    elif kind == "supertopic":
+        st = kernel.parse_supertopic(html)
+        for j, p in enumerate(st["photos"]):
+            out.append(
+                mk(
+                    "supertopic_photo",
+                    entity_id=p["mid"],
+                    user_id=p["uid"],
+                    images=[p["pic_url"]],
+                    block_index=j,
+                )
+            )
+        n_blocks = len(st["photos"])
+        out.append(mk("page", n_blocks=n_blocks, text="", cursor=st["since_id"]))
+        return out
     elif kind == "album":
         imgs = kernel.extract_album_images(root)
         out.append(mk("album", images=imgs))

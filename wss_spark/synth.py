@@ -1028,6 +1028,126 @@ def build_hotflow_pages_df(spark, n_targets: int, seed: int = 42,
 
 
 # ---------------------------------------------------------------------------
+# Supertopic active-user album pages (since_id feed chain,
+# `独立版/WeiboSuperTopicActiveUserSpider.py`)
+# ---------------------------------------------------------------------------
+
+
+def supertopic_page_id(st_i: int) -> str:
+    """Deterministic page_id in the reference's shape: '100808' + 32 hex
+    chars (`WeiboSuperTopicActiveUserSpider.py:71`)."""
+    return f"100808{st_i:032x}"
+
+
+def supertopic_url(page_id: str, page: int, since_id: str | None) -> str:
+    """The /p/aj/proxy album-feed URL. Param order is load-bearing: ``page=``
+    precedes ``since_id=`` and ``since_id`` is appended last, so the engine's
+    in-place page increment + since_id append/replace reproduces these exact
+    strings (the reference resends the same params dict with page/since_id
+    updated, `WeiboSuperTopicActiveUserSpider.py:150-155`)."""
+    base = (
+        "https://weibo.com/p/aj/proxy?api=pcpage%2Fpapp"
+        f"&page_id={page_id}&page={page}&appname=album&module=feed"
+    )
+    if since_id is not None:
+        base += f"&since_id={since_id}"
+    return base
+
+
+def _st_photo(st_i: int, k: int, j: int, seed: int) -> dict:
+    """One ph_ar_box photo block: action-data carries uid/since_id/mid/pid
+    (`WeiboSuperTopicActiveUserSpider.py:128-140`). uids are drawn from a
+    small per-topic pool so cross-page repeats exercise the first-seen
+    dedup."""
+    r = _rng(seed, 200_000 + st_i, k * 100 + j)
+    return {
+        "uid": str(7_000_000_000 + st_i * 1000 + r.randint(0, 11)),
+        "since_id": str(4_600_000_000_000_000 + st_i * 811 + k * 37 + j),
+        "mid": str(4_700_000_000_000_000 + st_i * 911 + k * 100 + j),
+        "pid": "st" + _b62(9_000_000 + st_i * 7919 + k * 97 + j, 12),
+    }
+
+
+def supertopic_chain(st_i: int, seed: int) -> list[tuple[int, str | None, list[dict]]]:
+    """[(page, since_id-in-url, photos)] — the reference's feed chain:
+    starts at page 2 with no since_id; each next request carries page+1 and
+    the FIRST photo's since_id (`:131-133`); ends with an empty page (the
+    parseHtml→False stop, `:122-125`)."""
+    r = _rng(seed, 77, st_i)
+    n_pages = r.randint(1, 3)
+    chain: list[tuple[int, str | None, list[dict]]] = []
+    since: str | None = None
+    for k in range(n_pages):
+        photos = [_st_photo(st_i, k, j, seed) for j in range(r.randint(2, 6))]
+        chain.append((2 + k, since, photos))
+        since = photos[0]["since_id"]
+    chain.append((2 + n_pages, since, []))
+    return chain
+
+
+def render_supertopic_pages(st_i: int, seed: int) -> list[dict]:
+    """JSON pages whose ``data`` cell is the album-grid HTML fragment —
+    ``response.json()['data']`` → ``etree.HTML`` in the reference (`:118`)."""
+    import json
+
+    pid = supertopic_page_id(st_i)
+    warc_base = ANCHOR - timedelta(hours=8)
+    rows: list[dict] = []
+    for i, (page, since, photos) in enumerate(supertopic_chain(st_i, seed)):
+        blocks = "".join(
+            '<a class="ph_ar_box" href="javascript:;" action-data="'
+            f"uid={p['uid']}&amp;since_id={p['since_id']}"
+            f"&amp;mid={p['mid']}&amp;pid={p['pid']}"
+            '"><img src="thumb.jpg"/></a>'
+            for p in photos
+        )
+        payload = {"code": "100000", "data": f'<div class="WB_cardwrap">{blocks}</div>'}
+        rows.append(
+            {
+                "url": supertopic_url(pid, page, since),
+                "warc_ts": warc_base + timedelta(seconds=(st_i * 61 + i * 23) % 86400),
+                "html": json.dumps(payload, ensure_ascii=False).encode("utf-8"),
+                "text": "",
+                "lang": "zh",
+            }
+        )
+    return rows
+
+
+def build_supertopic_pages_df(spark, n_topics: int, seed: int = 42,
+                              partitions: int | None = None):
+    partitions = partitions or max(4, min(n_topics // 64 + 1, 256))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for st_i in pdf["id"]:
+                out.extend(render_supertopic_pages(int(st_i), seed))
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return spark.range(0, n_topics, numPartitions=partitions).mapInPandas(gen, schema=PAGES)
+
+
+def expected_supertopic_users(n_topics: int, seed: int) -> list[tuple]:
+    """(page_id, seq, user_link) — first-seen-order active-uid dedup per
+    topic, the reference's ``active_uid`` list → user_link CSV
+    (`WeiboSuperTopicActiveUserSpider.py:140-146,168-172`)."""
+    rows: list[tuple] = []
+    for st_i in range(n_topics):
+        pid = supertopic_page_id(st_i)
+        seen: set[str] = set()
+        seq = 0
+        for _page, _since, photos in supertopic_chain(st_i, seed):
+            for p in photos:
+                if p["uid"] in seen:
+                    continue
+                seen.add(p["uid"])
+                seq += 1
+                rows.append((pid, seq, f"https://weibo.com/u/{p['uid']}"))
+    return rows
+
+
+# ---------------------------------------------------------------------------
 # Spark-native generation
 # ---------------------------------------------------------------------------
 
