@@ -18,13 +18,17 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
-from wss_spark.crawl.frontier import CrawlConfig, run_crawl
+from wss_spark.crawl.frontier import CrawlConfig
+from wss_spark.jobs import JobTracker, run_tracked_crawl
 from wss_spark.synth import build_pages_df, seed_list
 
 
 def main() -> None:
     n_targets = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     budget = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    status_dir = sys.argv[3] if len(sys.argv) > 3 else tempfile.mkdtemp(
+        prefix="wss_status_"
+    )
     spark = SparkSession.builder.appName("wss_submit").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     pages = build_pages_df(spark, n_targets, seed=42).persist()
@@ -32,17 +36,17 @@ def main() -> None:
         budget=budget, n_buckets=8, m_bits=1 << 16,
         checkpoint_dir=tempfile.mkdtemp(prefix="wss_submit_"),
     )
-    res = run_crawl(spark, pages, seed_list(n_targets, seed=42), cfg)
-    print(
-        json.dumps(
-            {
-                "fetched": res.fetch_log.count(),
-                "waves": res.waves,
-                "entities": res.entities.filter("kind <> 'page'").count(),
-                "seen": res.seen.count(),
-            }
-        )
+    # full task lifecycle through the status table (the reference api
+    # server's submit → progress → result, `WDA/api_server.py:226-327`);
+    # any poller can read the same table from another session via
+    # JobTracker(spark, status_dir).status(task_id)
+    tracker = JobTracker(spark, status_dir)
+    task_id = run_tracked_crawl(
+        spark, tracker, pages, seed_list(n_targets, seed=42), cfg,
+        {"n_targets": n_targets, "budget": budget},
     )
+    print(json.dumps({"task_id": task_id, "status_dir": status_dir,
+                      **tracker.result(task_id)}))
     spark.stop()
 
 

@@ -111,7 +111,12 @@ def run_crawl(
     config: CrawlConfig | None = None,
     robots: DataFrame | None = None,
     resume: bool = False,
+    on_wave=None,
 ) -> CrawlResult:
+    """``on_wave``: optional callable invoked with each wave's metrics dict
+    as it completes — the progress-reporting hook for the job-status surface
+    (jobs.JobTracker), the analog of the reference task API's polled
+    ``progress`` field (`WeiboDeepAnalyzer/api_server.py:262-274`)."""
     cfg = config or CrawlConfig()
     root = cfg.checkpoint_dir or tempfile.mkdtemp(prefix="wss_crawl_")
 
@@ -343,6 +348,8 @@ def run_crawl(
                 "phases": phase_t,
             }
         )
+        if on_wave is not None:
+            on_wave(metrics[-1])
 
         frontier.unpersist()
         flagged.unpersist()
