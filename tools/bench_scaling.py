@@ -131,6 +131,8 @@ seeds = pages.select("url") if bulk else seed_list(n_targets, seed=42)
 cfg = CrawlConfig(budget=(None if budget <= 0 else budget), n_buckets=64,
                   m_bits=1 << 20, checkpoint_every=10, defer_logs=True,
                   dedup_pages=False,
+                  # bulk = single-pass drain: no page-cache reuse to pay for
+                  cache_pages=not bulk,
                   checkpoint_dir=tempfile.mkdtemp(prefix=f"wss_scale{{cores}}_"))
 t0 = time.time()
 res = run_crawl(spark, pages, seeds, cfg)
@@ -156,6 +158,7 @@ print(json.dumps({{
     "n_pages": int(n_pages),
     "urls_per_sec": round(n_urls / wall, 2), "waves": res.waves,
     "order_sha": order_sha, "seen_sha": seen_sha,
+    "phases": [m["phases"] for m in res.metrics],
 }}))
 spark.stop()
 shutil.rmtree("/dev/shm/wss_bench", ignore_errors=True)
@@ -184,10 +187,17 @@ def main() -> None:
     budget = int(sys.argv[2]) if len(sys.argv) > 2 else 0  # 0 = unbounded
     mode = sys.argv[3] if len(sys.argv) > 3 else "discovery"
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    # N and 4N cores; default 8→32. The 2→8 pair is the cleaner probe on
+    # this box: a pinned 8-core leg on an otherwise-idle 32-core host gets
+    # the whole socket's memory bandwidth/LLC/turbo (resources a real
+    # 8-core executor node would NOT have 4x of), deflating the 8→32
+    # ratio below what the plan actually scales at.
+    lo_cores = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+    hi_cores = 4 * lo_cores
     lo_runs, hi_runs = [], []
     for _ in range(repeats):
-        lo_runs.append(run_level(8, n_targets, budget, mode))
-        hi_runs.append(run_level(32, n_targets, budget, mode))
+        lo_runs.append(run_level(lo_cores, n_targets, budget, mode))
+        hi_runs.append(run_level(hi_cores, n_targets, budget, mode))
     if mode == "stages":
         # per-stage min across repeats (host noise is independent per stage)
         keys = [k for k in lo_runs[0] if k.endswith("_s")]
@@ -209,7 +219,8 @@ def main() -> None:
         }
         print(json.dumps({
             "mode": mode, "n_targets": n_targets,
-            "local8": lo, "local32": hi, "stage_scaling_efficiency": effs,
+            f"local{lo_cores}": lo, f"local{hi_cores}": hi,
+            "stage_scaling_efficiency": effs,
         }))
         return
     eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / 4
@@ -219,8 +230,8 @@ def main() -> None:
                 "mode": mode,
                 "n_targets": n_targets,
                 "budget": budget,
-                "local8": lo,
-                "local32": hi,
+                f"local{lo_cores}": lo,
+                f"local{hi_cores}": hi,
                 "scaling_efficiency": round(eff, 3),
                 "identical_order": lo["order_sha"] == hi["order_sha"],
                 "identical_seen_set": lo["seen_sha"] == hi["seen_sha"],

@@ -144,6 +144,22 @@ def read_seen_keys(spark: SparkSession, root: str, up_to_wave: int,
     return df.select("bucket", "url_hash", "canon_url")
 
 
+def read_log_wave(spark: SparkSession, root: str, name: str, wave: int,
+                  schema=None) -> DataFrame:
+    """One wave's log directory, read back right after its write — the
+    parquet round-trip is the wave's materialization point (building
+    block-manager cache batches for the wide entities frame serializes on
+    the memory store at high core counts; a partition-parallel parquet
+    write + column-pruned re-reads scale). Pass ``schema`` so an empty
+    wave (zero parsed rows) reads back as an empty frame instead of
+    failing schema inference."""
+    d = os.path.join(root, "logs", name, f"wave={wave:05d}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(d)
+
+
 def read_log(spark: SparkSession, root: str, name: str,
              up_to_wave: int | None = None) -> DataFrame | None:
     """Union of committed per-wave log dirs (≤ the resumed snapshot's wave,

@@ -70,6 +70,20 @@ class CrawlConfig:
     # it double-sorts the full payload — skip it when the input is known
     # canonical.
     dedup_pages: bool = True
+    # cache_pages=True (default): hash-partition the (url, html) fetch
+    # index once and persist it, so every wave's fetch join satisfies its
+    # distribution from the cache — right whenever the crawl runs more
+    # than one wave. Set False ONLY for a single-pass bulk drain (seeds ≈
+    # the whole table, budget None): the one wave touches every page
+    # exactly once, so caching the payload is pure overhead — and in
+    # local mode actively hostile at high core counts (all threads share
+    # ONE block-manager memory store; measured: building the html cache
+    # costs 4.5 s at 8 cores but 64 s at 32 on the same input, and
+    # joining out of it 165 s vs 66 s for the direct join). On a real
+    # cluster the store is per-executor, but a single-pass drain still
+    # has no reuse to pay for a cache. dedup_pages=True forces the cache
+    # (the dedup aggregate must not re-run per wave).
+    cache_pages: bool = True
 
 
 @dataclass
@@ -123,16 +137,22 @@ def run_crawl(
     # fetch target: exact url → html (the reference fetches literal urls;
     # canonicalization exists only for the seen set, where /comment/W and
     # /comment/W?page=1 are the same resource).
-    # Explicitly hash-partition by url BEFORE persisting: the html payload
-    # (the heavy bytes) is shuffled exactly once here, and every wave's
-    # fetch join then satisfies its distribution from the cache — only the
-    # narrow frontier side moves per wave. This is the single-box stand-in
-    # for a url-bucketed Iceberg pages table on a cluster.
+    #
+    # Two fetch strategies (see CrawlConfig.cache_pages): the persisted
+    # url-partitioned index for multi-wave crawls (html shuffled exactly
+    # once, every wave's join satisfies its distribution from the cache —
+    # the single-box stand-in for a url-bucketed Iceberg pages table), or
+    # streaming the table straight into the join for a single-pass bulk
+    # drain where the cache would never be reused.
+    use_idx = cfg.dedup_pages or cfg.cache_pages
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pages_idx = pages.select("url", "html").repartition(n_part, "url")
-    if cfg.dedup_pages:
-        pages_idx = pages_idx.dropDuplicates(["url"])
-    pages_idx = pages_idx.persist()
+    if use_idx:
+        pages_idx = pages.select("url", "html").repartition(n_part, "url")
+        if cfg.dedup_pages:
+            pages_idx = pages_idx.dropDuplicates(["url"])
+        pages_idx = pages_idx.persist()
+    else:
+        pages_idx = pages.select("url", "html")
 
     snap = checkpoint.latest_snapshot(root) if resume else None
     if snap is not None:
@@ -238,19 +258,28 @@ def run_crawl(
         ok = fetched.filter(F.col("html").isNotNull()).select(
             "url", "html", "seed_order", "priority", F.col("page").alias("_src_page")
         )
-        parsed = parse_pages(
+        parsed_plan = parse_pages(
             ok, cfg.now, passthrough=["seed_order", "priority", "_src_page"]
-        ).persist()
-        # materialize the extraction cache EAGERLY: discover() fans out into
-        # ~10 union branches over `parsed`, and racing legs of one job can
-        # each recompute partitions before the lazy cache lands — the Arrow
-        # extraction (the wave's dominant cost) must run exactly once.
+        )
+        # Materialize the extraction ONCE as this wave's entities log and
+        # read it back. discover() fans out into ~10 union branches over
+        # `parsed`, so the Arrow extraction (the wave's dominant cost) must
+        # run exactly once — but .persist() is the wrong materialization
+        # here: building in-memory cache batches for the wide entities
+        # frame serializes on the block manager (measured 8→32-core
+        # efficiency 0.42 cached vs 0.90 uncached, and parquet+readback
+        # 2x faster than the cache build at 32 cores), while the parquet
+        # write is partition-parallel and downstream re-reads are
+        # column-pruned. The per-wave write is also exactly the Iceberg
+        # entities append the durable path needs anyway.
+        checkpoint.write_log(root, "entities", wave, parsed_plan)
+        parsed = checkpoint.read_log_wave(
+            spark, root, "entities", wave, schema=parsed_plan.schema
+        )
         n_parsed = parsed.count()
         _mark("extract", _since)
         if cfg.defer_logs:
             entity_parts.append(parsed)
-        else:
-            checkpoint.write_log(root, "entities", wave, parsed)
 
         # fetch log: every parsed url has exactly one kind='page' row, so a
         # narrow cached-to-cached join yields status without touching html
@@ -358,10 +387,9 @@ def run_crawl(
         if deferred is not None:
             deferred.unpersist()
         if not cfg.defer_logs:
-            # deferred logs still reference admitted/parsed caches; otherwise
-            # drop them
+            # deferred fetch logs still reference the admitted cache;
+            # otherwise drop it (parsed is parquet-backed, nothing to drop)
             admitted.unpersist()
-            parsed.unpersist()
         # the new states are eagerly materialized (snapshot or
         # localCheckpoint), so the previous wave's cached state can go
         old_bloom = bloom_state
@@ -399,7 +427,8 @@ def run_crawl(
         for part in entity_parts[1:]:
             entities_all = entities_all.unionByName(part)
     else:
-        pages_idx.unpersist()
+        if use_idx:
+            pages_idx.unpersist()
         fetch_log_all = checkpoint.read_log(spark, root, "fetch_log", up_to_wave=last_committed)
         entities_all = checkpoint.read_log(spark, root, "entities", up_to_wave=last_committed)
     seen_all = (
