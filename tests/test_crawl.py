@@ -146,6 +146,23 @@ def test_crawl_order_invariant_to_partitioning(spark, tmp_path, crawl_world):
     assert visit_order(alt.fetch_log) == crawl_world["order"]
 
 
+def test_crawl_fetch_strategy_invariance(spark, tmp_path, crawl_world):
+    """The fetch strategy (persisted url-partitioned index vs streaming the
+    pages table into the join, CrawlConfig.cache_pages) is a physical-plan
+    choice only — visit order and seen set must be bit-identical. The
+    synthetic pages table is canonical (unique url), so dedup_pages=False
+    is sound here, matching the bulk-drain bench configuration."""
+    cfg = CrawlConfig(budget=BUDGET, n_buckets=N_BUCKETS, m_bits=M_BITS,
+                      cache_pages=False, dedup_pages=False,
+                      checkpoint_dir=str(tmp_path / "stream"))
+    alt = run_crawl(spark, crawl_world["pages"], crawl_world["seeds"], cfg,
+                    robots=crawl_world["robots"])
+    assert visit_order(alt.fetch_log) == crawl_world["order"]
+    canon_seen = crawl_world["result"].seen.select("canon_url")
+    assert alt.seen.select("canon_url").exceptAll(canon_seen).count() == 0
+    assert canon_seen.exceptAll(alt.seen.select("canon_url")).count() == 0
+
+
 def test_crawl_resume_equals_uninterrupted(spark, tmp_path, crawl_world):
     part_dir = str(tmp_path / "part")
     part_cfg = CrawlConfig(budget=BUDGET, n_buckets=N_BUCKETS, m_bits=M_BITS,
