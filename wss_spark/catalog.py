@@ -1138,16 +1138,79 @@ def dd_embedding_pairs_blocked(spark, sf):
     return similarity.embedding_near_pairs(emb, 0.3, candidates=cands)
 
 
-@_q("ann_srp_topk", None)  # approximate path; rows-only + recall test gate
+def _srp_topk_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 8,
+                  k: int = 5) -> str:
+    """DuckDB replay of the full SRP ANN top-k path: corpus buckets and
+    query buckets re-derived against the SAME deterministic hyperplanes,
+    query-side multi-probe (bucket plus every 1-bit flip), candidates from
+    the (table, bucket) equi-join, exact cosine + deterministic rank on
+    candidates only. The path is approximate w.r.t. brute force but fully
+    deterministic w.r.t. its own definition — so it value-oracles exactly,
+    like dd_embedding_pairs_blocked (recall vs the exact baseline is pinned
+    separately in tests/test_operators.py)."""
+    from wss_spark.operators.similarity import _srp_planes
+
+    cb, qb = [], []
+    for t in range(n_tables):
+        planes = _srp_planes(dim, n_planes, t)
+        terms = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit})"
+                f" > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        bexpr = " + ".join(terms)
+        cb.append(f"SELECT vec_id AS nid, {t} AS tbl, ({bexpr}) AS bucket"
+                  " FROM embeddings")
+        qb.append(f"SELECT vec_id AS qid, {t} AS tbl, ({bexpr}) AS bucket"
+                  " FROM embeddings WHERE vec_id < 3")
+    corpus = "\nUNION ALL\n".join(cb)
+    qbase = "\nUNION ALL\n".join(qb)
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)]
+    )
+    return f"""
+    WITH cbuckets AS ({corpus}),
+    qbase AS ({qbase}),
+    qprobe AS (SELECT qid, tbl, unnest([{probes}]) AS bucket FROM qbase),
+    cand AS (SELECT DISTINCT q.qid, c.nid
+             FROM qprobe q JOIN cbuckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+             WHERE q.qid <> c.nid),
+    dims AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+             FROM (SELECT vec_id, embedding,
+                          unnest(generate_series(1, len(embedding))) AS i
+                   FROM embeddings)),
+    norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM dims GROUP BY vec_id),
+    dots AS (SELECT c.qid, c.nid, SUM(a.v * b.v) AS dot
+             FROM cand c JOIN dims a ON a.vec_id = c.qid
+                         JOIN dims b ON b.vec_id = c.nid AND a.i = b.i
+             GROUP BY 1, 2),
+    scored AS (SELECT qid, nid, ROUND(dot / (nq.nrm * nn.nrm), 4) AS sim
+               FROM dots JOIN norms nq ON nq.vec_id = qid
+                         JOIN norms nn ON nn.vec_id = nid),
+    ranked AS (SELECT qid, nid, sim,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+               FROM scored)
+    SELECT qid, nid, CAST(rnk AS INTEGER) AS rnk, sim FROM ranked WHERE rnk <= {k}
+    """
+
+
+@_q("ann_srp_topk", _srp_topk_sql())
 def ann_srp_topk(spark, sf):
     """Sign-random-projection LSH ANN with query-side multi-probe (the
-    100 TB scale path — corpus bucketing stays single-bucket). Approximate
-    by design, so no value oracle; tests pin recall@5 ≥ 0.7 vs the exact
-    brute-force baseline (tests/test_operators.py)."""
+    100 TB scale path — corpus bucketing stays single-bucket). Deterministic
+    given its seeded hyperplanes, so value-oracled against an independent
+    DuckDB replay of bucketing + probing + candidate ranking; recall@5 ≥ 0.7
+    vs the exact baseline is pinned in tests/test_operators.py."""
     emb = _t(spark, sf, "embeddings")
-    return similarity.srp_topk(
-        emb, emb.filter(F.col("vec_id") < 3), k=5, dim=64,
-        n_planes=4, n_tables=8, n_probe_bits=1,
+    return (
+        similarity.srp_topk(
+            emb, emb.filter(F.col("vec_id") < 3), k=5, dim=64,
+            n_planes=4, n_tables=8, n_probe_bits=1,
+        )
+        .withColumnRenamed("rank", "rnk")
+        .select("qid", "nid", "rnk", "sim")
     )
 
 
