@@ -48,10 +48,21 @@ def add_user_links(df: DataFrame, mapping: DataFrame,
             df = df.withColumn(link_col, F.lit(""))
     done = df.filter(F.col(finish_col))
     todo = df.filter(~F.col(finish_col)).drop(link_col)
+    # one row per name: a real hit always beats a '-1' miss (a unioned
+    # multi-run mapping can carry both — run 1 missed, run 2 hit), and among
+    # real hits the numerically smallest uid is the deterministic pick
+    # (string min would order '-1' < '5…' and '10…' < '9…')
     m = (
         mapping.groupBy("query_name")
-        .agg(F.min("uid").alias("uid"))
-        .select(F.col("query_name").alias(name_col), F.col("uid").alias("_uid"))
+        .agg(
+            F.min(
+                F.when(F.col("uid") != "-1", F.col("uid").cast("long"))
+            ).alias("_hit")
+        )
+        .select(
+            F.col("query_name").alias(name_col),
+            F.coalesce(F.col("_hit").cast("string"), F.lit("-1")).alias("_uid"),
+        )
     )
     resolved = (
         todo.join(F.broadcast(m), name_col, "left")
@@ -100,6 +111,13 @@ def add_user_info(df: DataFrame, profiles: DataFrame, user_col: str,
     """
     if user_info_col not in df.columns:
         df = df.withColumn(user_info_col, F.lit("init"))
+    else:
+        # a NULL cell means never-enriched: treat as 'init' (the reference's
+        # fillna-then-retry path, `:130-133`) — a plain != / == split would
+        # satisfy neither side and silently drop the row
+        df = df.withColumn(
+            user_info_col, F.coalesce(F.col(user_info_col), F.lit("init"))
+        )
     done = df.filter(F.col(user_info_col) != "init")
     todo = df.filter(F.col(user_info_col) == "init")
 

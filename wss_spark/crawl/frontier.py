@@ -58,10 +58,11 @@ class CrawlConfig:
     now: datetime = ANCHOR
     checkpoint_dir: str | None = None
     checkpoint_every: int = 4        # snapshot cadence in waves
-    # defer per-wave fetch/entity log writes: keep them as persisted
-    # DataFrames and union at the end. Cuts per-wave latency for
-    # throughput benchmarks; per-wave appends (default) are the resumable
-    # production path.
+    # defer per-wave FETCH-log writes: keep them as persisted DataFrames and
+    # union at the end, cutting per-wave latency for throughput benchmarks;
+    # per-wave appends (default) are the resumable production path. The
+    # entities log is written per wave regardless — the parquet write is the
+    # extraction's materialization point (see step 6), not an extra cost.
     defer_logs: bool = False
     # the pages table is normally the warehouse's canonical store (unique by
     # url — Iceberg MERGE at ingest guarantees it). dedup_pages=True guards
@@ -174,7 +175,6 @@ def run_crawl(
         metrics = []
 
     fetch_log_parts: list[DataFrame] = []
-    entity_parts: list[DataFrame] = []
     last_committed = wave - 1
     while wave < cfg.max_waves:
         t0 = time.time()
@@ -278,8 +278,6 @@ def run_crawl(
         )
         n_parsed = parsed.count()
         _mark("extract", _since)
-        if cfg.defer_logs:
-            entity_parts.append(parsed)
 
         # fetch log: every parsed url has exactly one kind='page' row, so a
         # narrow cached-to-cached join yields status without touching html
@@ -369,7 +367,10 @@ def run_crawl(
             {
                 "wave": wave,
                 "n_frontier": int(n_frontier),
-                "n_new": int(n_admitted + n_blocked + n_deferred),
+                # newly-seen this wave = exactly what the seen store appended
+                # (admitted ∪ robots-blocked); deferred rows re-enter the
+                # next wave unseen and must not be counted
+                "n_new": int(n_admitted + n_blocked),
                 "n_admitted": int(n_admitted),
                 "n_deferred": int(n_deferred),
                 "n_entities": int(n_parsed),
@@ -382,14 +383,16 @@ def run_crawl(
 
         frontier.unpersist()
         flagged.unpersist()
-        if blocked is not None:
-            blocked.unpersist()
         if deferred is not None:
             deferred.unpersist()
         if not cfg.defer_logs:
-            # deferred fetch logs still reference the admitted cache;
-            # otherwise drop it (parsed is parquet-backed, nothing to drop)
+            # deferred fetch logs (defer_logs=True) are lazy unions over the
+            # admitted AND blocked caches — both must stay alive until the
+            # final fetch_log materializes; otherwise drop them now
+            # (parsed is parquet-backed, nothing to drop)
             admitted.unpersist()
+            if blocked is not None:
+                blocked.unpersist()
         # the new states are eagerly materialized (snapshot or
         # localCheckpoint), so the previous wave's cached state can go
         old_bloom = bloom_state
@@ -423,14 +426,13 @@ def run_crawl(
         fetch_log_all = fetch_log_parts[0] if fetch_log_parts else None
         for part in fetch_log_parts[1:]:
             fetch_log_all = fetch_log_all.unionByName(part)
-        entities_all = entity_parts[0] if entity_parts else None
-        for part in entity_parts[1:]:
-            entities_all = entities_all.unionByName(part)
     else:
         if use_idx:
             pages_idx.unpersist()
         fetch_log_all = checkpoint.read_log(spark, root, "fetch_log", up_to_wave=last_committed)
-        entities_all = checkpoint.read_log(spark, root, "entities", up_to_wave=last_committed)
+    # entities are parquet-backed per wave either way (the extraction's
+    # materialization point doubles as the log)
+    entities_all = checkpoint.read_log(spark, root, "entities", up_to_wave=last_committed)
     seen_all = (
         checkpoint.read_seen_keys(spark, root, last_seen_wave)
         if last_seen_wave >= 0
