@@ -183,3 +183,65 @@ def test_multimodal_pipeline(spark):
     assert all(again[r["media_id"]] == r["feature_hash"] for r in rows)  # deterministic
     dup = multimodal.media_dedup(media.unionByName(media))
     assert dup.agg(F.max("dup_count")).first()[0] == 2
+
+
+def test_dup_clusters_components(spark):
+    # two components: {1,2,3} via chain 1-2, 2-3; {7,9}; pointer-jump must
+    # collapse the chain to rep=1 even though 3 never touches 1 directly
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dedup.dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    # a 12-node path graph: diameter 11 > default plain-propagation budget
+    # unless pointer jumping compresses — still must reach rep=0 everywhere
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    got = dedup.dup_clusters(pairs, max_iter=8).collect()
+    assert {r["cluster_rep"] for r in got} == {0}
+    assert {r["doc_id"] for r in got} == set(range(12))
+
+
+def test_dedup_by_clusters_and_end_to_end(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(
+        spark,
+        [
+            base,                                    # 0: rep of {0,1}
+            base,                                    # 1: dropped
+            "one two three four five six seven",     # 2: singleton, kept
+            base + " extra",                         # 3: near-dup of 0 → dropped
+        ],
+    )
+    kept = dedup.dedup_near(docs, n=3, k=8, threshold=0.5).collect()
+    assert sorted(r["doc_id"] for r in kept) == [0, 2]
+    # composition invariant: pairs → clusters → keep set keeps exactly the
+    # min id of every component plus all unpaired docs
+    pairs = dedup.minhash_lsh_dedup(docs, n=3, k=8, threshold=0.5)
+    clusters = dedup.dup_clusters(pairs)
+    kept2 = dedup.dedup_by_clusters(docs, clusters).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept2) == [0, 2]
+
+
+def test_top_influencers(spark):
+    edges = spark.createDataFrame(
+        [(100, 1, "cn"), (101, 1, "cn"), (102, 2, "cn"), (103, 3, "us")],
+        "post long, reposter long, region string",
+    )
+    top = analytics.top_influencers(edges, "reposter", k=1, group_cols=["region"]).collect()
+    assert {(r["region"], r["reposter"], r["degree"], r["rnk"]) for r in top} == {
+        ("cn", 1, 2, 1),
+        ("us", 3, 1, 1),
+    }
+    # global (no groups): deterministic tiebreak on node id
+    g = analytics.top_influencers(edges, "reposter", k=2).collect()
+    assert [(r["reposter"], r["degree"]) for r in sorted(g, key=lambda r: r["rnk"])] == [
+        (1, 2), (2, 1),
+    ]

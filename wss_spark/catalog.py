@@ -577,6 +577,39 @@ def j8_order_edges(spark, sf):
     )
 
 
+@_q(
+    "g1_repost_degree",
+    """
+    WITH edges AS (SELECT o.o_orderkey, c.c_custkey,
+                          CAST(c.c_nationkey AS INTEGER) AS c_nationkey
+                   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                   WHERE o.o_totalprice > 150000),
+    deg AS (SELECT c_custkey, c_nationkey, COUNT(*) AS degree
+            FROM edges GROUP BY 1, 2),
+    ranked AS (SELECT c_custkey, c_nationkey, degree,
+                      ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                         ORDER BY degree DESC, c_custkey) AS rnk
+               FROM deg)
+    SELECT c_custkey, c_nationkey, degree, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def g1_repost_degree(spark, sf):
+    """Repost-graph analytics over the J8 edge table: degree per node +
+    top-3 influencers per group — the relationship-network companion the
+    reference README advertises (`/root/reference/README.md:24`), whose node
+    importance is repost degree. Subsumes j8_order_edges (same edge build
+    feeds the degree aggregate)."""
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 150000)
+    c = _t(spark, sf, "customer")
+    edges = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "c_custkey", "c_nationkey"
+    )
+    return analytics.top_influencers(
+        edges, "c_custkey", k=3, group_cols=["c_nationkey"]
+    ).select("c_custkey", "c_nationkey", "degree", "rnk")
+
+
 # ===========================================================================
 # §2.6 sorts / top-k ; §2.7 set ops
 # ===========================================================================
@@ -926,6 +959,38 @@ def dd_jaccard_pairs(spark, sf):
     """N-gram Jaccard near-dup pairs (threshold 0.2 keeps the check
     non-trivial on the synthetic corpus)."""
     return dedup.jaccard_pairs(dedup.shingles(_t(spark, sf, "documents"), 3), 0.2)
+
+
+@_q(
+    "dd_dup_clusters",
+    f"""
+    WITH RECURSIVE {_SH_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                    UNION
+                    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a
+    """,
+)
+def dd_dup_clusters(spark, sf):
+    """Near-dup cluster resolution: Jaccard pairs → connected components →
+    (doc_id, cluster_rep = component min id). The Spark side is iterative
+    hash-min label propagation (dedup.dup_clusters); the DuckDB oracle is an
+    independent transitive-closure recursive CTE over the same pairs — two
+    different component algorithms must agree exactly."""
+    pairs = dedup.jaccard_pairs(
+        dedup.shingles(_t(spark, sf, "documents"), 3), 0.2
+    )
+    return dedup.dup_clusters(pairs)
 
 
 def _minhash_params_sql(k: int) -> str:
@@ -2189,7 +2254,38 @@ _DEMOTED = [
     "f_date_parts",
     "f_string_ops",
     "f_regex_extract",
+    # demoted r04 to fit the two new gates (dd_dup_clusters, g1_repost_degree)
+    # inside the window:
+    "j8_order_edges",         # g1_repost_degree re-runs the same edge build
+    "u3_union_slices",        # set_ops_buyers keeps union/intersect/except
 ]
+
+# Gates that MUST stay inside the driver's first-50 correctness window: the
+# record-replay / reference-fidelity oracles plus every gate newly added this
+# round. tests/test_catalog_window.py asserts this so a future catalog
+# addition cannot silently push them out (ADVICE r03 #5).
+WINDOW_CRITICAL = [
+    "crawl_fetch_log",
+    "crawl_families_log",
+    "timeline_extract",
+    "topic_search_extract",
+    "topic_search_enriched",
+    "article_extract",
+    "api_comments_extract",
+    "api_topic_cards",
+    "api_user_actions",
+    "likes_extract",
+    "extract_entities_comments",
+    "name_uid_resolution",
+    "supertopic_active_users",
+    "user_info_enriched",
+    "media_features",
+    "ann_srp_topk",
+    "dd_embedding_pairs_blocked",
+    "dd_dup_clusters",
+    "g1_repost_degree",
+]
+DRIVER_WINDOW = 50
 
 
 def _ordered_names() -> list[str]:

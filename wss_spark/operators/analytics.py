@@ -88,6 +88,28 @@ def ratio_agg(df: DataFrame, group_cols: list[str], predicate: Column,
     )
 
 
+def top_influencers(edges: DataFrame, node_col: str, k: int = 3,
+                    group_cols: list[str] | None = None) -> DataFrame:
+    """Repost-graph analytics over an edge table (the README's
+    relationship-network companion, `/root/reference/README.md:24`, whose
+    node sizes are repost degrees): degree per node = edge count, then the
+    top-k nodes by degree (per ``group_cols`` when given, global otherwise).
+
+    Two shuffles total — a map-side-combinable count and a top-k window over
+    the already-aggregated (≪ edges) degree table; the degree groupBy keys on
+    the node id so a hot post fans into partial aggregates, never one task.
+    """
+    keys = [node_col] + list(group_cols or [])
+    deg = edges.groupBy(*keys).agg(F.count("*").alias("degree"))
+    w = Window.partitionBy(*(group_cols or [])).orderBy(
+        F.col("degree").desc(), F.col(node_col).asc()
+    )
+    return (
+        deg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def sessionize(df: DataFrame, user_col: str, ts_col: str, id_col: str,
                gap_seconds: int = 1800) -> DataFrame:
     """Gap-based sessionization — batch form of the streaming session window
