@@ -101,7 +101,12 @@ def main() -> None:
 
     wall = time.time() - t_total0
     out = {
-        "metric": "total_bench_seconds",
+        # value = sum of per-query min-of-N times — a noise-resistant figure
+        # no single run achieves (each addend may come from a different
+        # run); the honest single-run number is wall_s. Named accordingly
+        # since r04 (ADVICE r03 #3): r01/r02 'total_bench_seconds' was
+        # single-run wall-per-query, r03's was min-of-N under the old name.
+        "metric": "sum_best_of_n_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,

@@ -54,3 +54,43 @@ def test_binary_file_sink_skip_if_exists(spark, tmp_path):
     )
     n2 = multimodal.binary_file_sink(media, out, already=already)
     assert n2 == 0
+
+
+def test_download_images_from_crawl_entities(spark, tmp_path):
+    """Image post-pass driven by real extraction output: timeline/album image
+    refs -> large-url rewrite -> payload join -> md5-named files, with the
+    downloaded-set anti-join making re-runs incremental."""
+    import hashlib
+
+    from wss_spark.analysis import collect_image_urls, download_images
+    from wss_spark.extraction.parse_page import parse_pages
+
+    pages = build_pages_df(spark, 6, seed=42).cache()
+    parsed = parse_pages(pages).cache()
+    urls = collect_image_urls(parsed)
+    got = [r["url"] for r in urls.collect()]
+    assert got and all("/large/" in u for u in got)          # F9 rewrite applied
+    assert not any("thumb180" in u or "wap180" in u for u in got)
+    assert len(got) == len(set(got))                          # distinct
+
+    # fetched-media table: deterministic payload per url (the warehouse
+    # stand-in for the reference's HTTP GET)
+    images = urls.select(
+        "url", F.encode(F.concat(F.lit("IMG:"), F.col("url")), "utf-8").alias("payload")
+    ).cache()
+    out = str(tmp_path / "imgs")
+    n1 = download_images(parsed, images, out)
+    files = set(os.listdir(out))
+    assert n1 == len(files) == len(got)
+    # content-addressed names: md5(payload).bin, like the reference's md5
+    # image naming
+    want = {hashlib.md5(f"IMG:{u}".encode()).hexdigest() + ".bin" for u in got}
+    assert files == want
+
+    # skip-if-exists: a second pass with the already-set writes nothing new
+    already = spark.createDataFrame(
+        [(f[:-4],) for f in files], "name string"
+    )
+    n2 = download_images(parsed, images, out, already=already)
+    assert n2 == 0
+    assert set(os.listdir(out)) == want

@@ -299,3 +299,45 @@ def test_canonicalize_parity(spark):
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = [r[0] for r in df.select(canonicalize_url("url")).collect()]
     assert got == [canonicalize(u) for u in urls]
+
+
+def test_crawl_delay_budgets_match_simulator(spark, tmp_path, crawl_world):
+    """Robots crawl_delay shapes per-host admission: with wave_seconds=30 and
+    weibo.cn declaring delay 10, the hot host caps at floor(30/10)=3 per wave
+    while cold hosts keep the global budget of 5 — engine and simulator must
+    agree on the resulting order, seen set, and per-wave per-host counts."""
+    delay_rules = BLOCKED + []
+    robots = spark.createDataFrame(
+        [(h, p, False, None) for h, p in BLOCKED]
+        + [("weibo.cn", "/", True, 10)],
+        "host string, path_prefix string, allowed boolean, crawl_delay int",
+    )
+    cfg = CrawlConfig(
+        budget=BUDGET, n_buckets=N_BUCKETS, m_bits=M_BITS, wave_seconds=30.0,
+        checkpoint_dir=str(tmp_path / "delay"),
+    )
+    res = run_crawl(spark, crawl_world["pages"], crawl_world["seeds"], cfg,
+                    robots=robots)
+    sim_order, sim_seen = simulate(
+        crawl_world["page_map"], crawl_world["seeds"], BUDGET,
+        robots_blocked_prefixes=delay_rules,
+        crawl_delays={"weibo.cn": 10.0}, wave_seconds=30.0,
+    )
+    assert visit_order(res.fetch_log) == sim_order
+    assert {r[0] for r in res.seen.select("canon_url").collect()} == sim_seen
+    # the delayed host really is capped below the global budget: without a
+    # declared delay (the canonical fixture run) weibo.cn fills the global
+    # budget of 5 in some wave; with delay 10 it never exceeds floor(30/10)=3
+    def hot_per_wave(fetch_log):
+        rows = (
+            fetch_log.filter((F.col("status") != 403) & (F.col("host") == "weibo.cn"))
+            .groupBy("wave").agg(F.count("*").alias("n")).collect()
+        )
+        return [r["n"] for r in rows]
+
+    canon_hot = hot_per_wave(crawl_world["result"].fetch_log)
+    delayed_hot = hot_per_wave(res.fetch_log)
+    assert max(canon_hot) == BUDGET       # undelayed: full global budget
+    assert max(delayed_hot) == 3          # floor(30/10), < budget 5
+    # the delayed crawl is a different schedule from the canonical one
+    assert visit_order(res.fetch_log) != crawl_world["order"]

@@ -104,3 +104,31 @@ def test_tracker_survives_restart(spark, tmp_path):
     assert t2.result(tid)["result"] == {"fetched": 9}
     rows = spark.read.parquet(d).filter("task_id = 'job-7'").orderBy("seq").collect()
     assert [r["seq"] for r in rows] == [1, 2, 3]
+
+
+def test_health_and_sync_analyze(spark, tracker):
+    from wss_spark.jobs import run_sync
+
+    # empty table: healthy, zero active
+    h0 = tracker.health()
+    assert h0["status"] == "healthy" and h0["active_tasks"] == 0
+
+    # sync run returns the payload directly AND records the full lifecycle
+    out = run_sync(tracker, {"wid": "w1"}, lambda: {"total": 3})
+    assert out["status"] == "completed" and out["result"] == {"total": 3}
+    assert tracker.result(out["task_id"])["result"] == {"total": 3}
+
+    # an in-flight async task counts as active
+    tid = tracker.submit({"wid": "w2"})
+    tracker.update(tid, "running", 10, "going")
+    assert tracker.health()["active_tasks"] == 1
+
+    # sync failure records failed and re-raises
+    def boom():
+        raise ValueError("nope")
+
+    with pytest.raises(ValueError):
+        run_sync(tracker, {"wid": "w3"}, boom)
+    failed = [r["task_id"] for r in tracker.list(status="failed").collect()]
+    assert len(failed) == 1
+    assert tracker.result(failed[0])["status"] == "failed"

@@ -40,6 +40,7 @@ def main() -> None:
     cfg = CrawlConfig(
         budget=budget, n_buckets=64, m_bits=1 << 20, checkpoint_every=10,
         defer_logs=True, dedup_pages=False, max_waves=max_waves,
+        track_bloom_stats=True,
         checkpoint_dir=tempfile.mkdtemp(prefix="wss_waves_"),
     )
     res = run_crawl(spark, pages, seed_list(n_targets, seed=42), cfg)
@@ -53,6 +54,8 @@ def main() -> None:
                 "n_frontier": m["n_frontier"],
                 "n_admitted": m["n_admitted"],
                 "cum_seen": cum_seen,
+                "n_maybe": m.get("n_maybe"),
+                "n_bloom_fp": m.get("n_bloom_fp"),
                 **{k: m["phases"].get(k) for k in
                    ("admit", "extract", "discover_state")},
             }

@@ -189,6 +189,41 @@ def enrich_comments_with_users(comments: DataFrame, users: DataFrame) -> DataFra
     )
 
 
+def collect_image_urls(parsed: DataFrame) -> DataFrame:
+    """Distinct large-image URLs referenced by a crawl's extracted entities:
+    explode every ``images`` array (timeline posts, search hits, albums) and
+    rewrite thumb/wap variants to the full-size form (F9,
+    `独立版/(using)WeiboUserScrapy.py:360-363`). One narrow column out —
+    ready for the download post-pass or an images-frontier seed list."""
+    from wss_spark.functions.text import large_image_url
+
+    return (
+        parsed.filter(F.size(F.coalesce(F.col("images"), F.array())) > 0)
+        .select(F.explode("images").alias("_img"))
+        .select(large_image_url("_img").alias("url"))
+        .distinct()
+    )
+
+
+def download_images(parsed: DataFrame, images: DataFrame, out_dir: str,
+                    already: DataFrame | None = None) -> int:
+    """The image-download post-pass over a crawl's entities — the distributed
+    ``get_weibo_img`` (`独立版/(using)WeiboUserScrapy.py:569-591`): gather the
+    entity-referenced image urls (:func:`collect_image_urls`), join payloads
+    from the fetched-media table ``images(url, payload)`` (the warehouse
+    stand-in for the reference's per-url HTTP GET, exactly like the crawl's
+    pages join), and write content-addressed files via
+    :func:`wss_spark.operators.multimodal.binary_file_sink` — md5-named,
+    skip-if-exists, payloads never through the driver. ``already`` is the
+    downloaded-set anti-join (the reference's os.path.isfile check, `:577`).
+    Returns the number of new files written."""
+    from wss_spark.operators.multimodal import binary_file_sink
+
+    wanted = collect_image_urls(parsed)
+    media = wanted.join(images.select("url", "payload"), on="url", how="inner")
+    return binary_file_sink(media, out_dir, already=already)
+
+
 def deep_analyze(pages: DataFrame, wid: str | None = None,
                  export_dir: str | None = None) -> dict:
     """Full deep-analysis over a pages table (optionally for one ``wid``).

@@ -128,7 +128,14 @@ def read_seen_keys(spark: SparkSession, root: str, up_to_wave: int,
                    buckets: list[int] | None = None) -> DataFrame | None:
     """Exact seen keys with directory-level pruning: ``wave <= up_to_wave``
     (ignores appends from an uncommitted, crashed wave) and, when given,
-    ``bucket IN buckets`` (only the bloom-maybe slice's buckets are read)."""
+    ``bucket IN buckets`` (only the bloom-maybe slice's buckets are read).
+
+    Only the genuinely-empty store reads as None (missing dir above /
+    schema-inference failure on a dir with no committed parquet yet —
+    AnalysisException). Any other read error RE-RAISES: swallowing it would
+    silently skip the exact seen anti-join for the wave and re-admit
+    already-crawled URLs with no signal (ADVICE r03 #2)."""
+    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
     sr = _seen_root(root)
@@ -136,8 +143,8 @@ def read_seen_keys(spark: SparkSession, root: str, up_to_wave: int,
         return None
     try:
         df = spark.read.parquet(sr)
-    except Exception:
-        return None  # no committed files yet
+    except AnalysisException:
+        return None  # no committed files yet (empty dir → no schema)
     df = df.filter(F.col("wave") <= up_to_wave)
     if buckets is not None:
         df = df.filter(F.col("bucket").isin([int(b) for b in buckets]))

@@ -35,7 +35,12 @@ from pyspark.sql import functions as F
 
 from wss_spark.crawl import bloom, checkpoint
 from wss_spark.crawl.discover import discover, seeds_frontier_from_df, seeds_to_frontier
-from wss_spark.crawl.politeness import ORDER_COLS, robots_gate, split_by_budget
+from wss_spark.crawl.politeness import (
+    ORDER_COLS,
+    host_budgets,
+    robots_gate,
+    split_by_budget,
+)
 from wss_spark.extraction.kernel import ANCHOR
 from wss_spark.extraction.parse_page import parse_pages
 from wss_spark.functions.urls import DEFAULT_SALT
@@ -50,6 +55,14 @@ class CrawlConfig:
     # serialize the hot host (the exact skew the north rule forbids).
     budget: int | None = 8
     max_waves: int = 200
+    # a wave models this many seconds of politeness window: a host whose
+    # robots row declares crawl_delay=d admits ≤ floor(wave_seconds/d) per
+    # wave (clamped to [1, budget]; politeness.host_budgets)
+    wave_seconds: float = 30.0
+    # broadcast the admitted set for the deferred anti-join (right while
+    # budget × n_hosts stays control-plane-small); False lets AQE pick when
+    # the host set is unbounded (ADVICE r03 #1)
+    broadcast_admitted: bool = True
     n_buckets: int = 64              # bloom/seen partitions (prod: 16384)
     m_bits: int = 1 << 20            # bloom bits per bucket (prod: 1<<23)
     bloom_k: int = 6
@@ -71,6 +84,10 @@ class CrawlConfig:
     # it double-sorts the full payload — skip it when the input is known
     # canonical.
     dedup_pages: bool = True
+    # diagnostics: record per-wave bloom-maybe slice size and its
+    # false-positive share (maybe rows that the exact store proves NEW) in
+    # metrics — two extra counts per wave, off in production
+    track_bloom_stats: bool = False
     # cache_pages=True (default): hash-partition the (url, html) fetch
     # index once and persist it, so every wave's fetch join satisfies its
     # distribution from the cache — right whenever the crawl runs more
@@ -155,6 +172,21 @@ def run_crawl(
     else:
         pages_idx = pages.select("url", "html")
 
+    # per-host wave budgets from robots crawl_delay (None when no host
+    # declares one): a tiny control-plane dim, computed once and reused by
+    # every wave's politeness split. localCheckpoint materializes it so the
+    # per-wave broadcast rebuilds don't re-aggregate the robots table.
+    hb = None
+    if (
+        robots is not None
+        and cfg.budget is not None
+        and "crawl_delay" in robots.columns
+    ):
+        hb = host_budgets(robots, cfg.budget, cfg.wave_seconds)
+        hb = hb.localCheckpoint(eager=True)
+        if hb.isEmpty():
+            hb = None
+
     snap = checkpoint.latest_snapshot(root) if resume else None
     if snap is not None:
         frontier, bloom_state = checkpoint.read_state(spark, root, snap.wave)
@@ -209,6 +241,9 @@ def run_crawl(
         definitely_new = flagged.filter(~F.col("maybe_seen"))
         maybe = flagged.filter(F.col("maybe_seen"))
         confirmed_new = maybe
+        bloom_stats: dict[str, int] = {}
+        if cfg.track_bloom_stats:
+            bloom_stats["n_maybe"] = maybe.count()
         if last_seen_wave >= 0:
             maybe_buckets = [r[0] for r in maybe.select("bucket").distinct().collect()]
             if maybe_buckets:
@@ -221,6 +256,10 @@ def run_crawl(
                         on=["bucket", "url_hash", "canon_url"],
                         how="left_anti",
                     )
+        if cfg.track_bloom_stats:
+            # maybe rows the exact store proves new = bloom false positives
+            # (the admit-phase cost the bloom failed to prune)
+            bloom_stats["n_bloom_fp"] = confirmed_new.count()
         new = definitely_new.unionByName(confirmed_new).drop("maybe_seen")
 
         # 3. robots gate (blocked rows are marked seen, logged, never fetched)
@@ -239,7 +278,10 @@ def run_crawl(
             admitted = allowed.withColumn("host_rank", F.lit(-1))
             deferred = None
         else:
-            admitted, deferred = split_by_budget(allowed, cfg.budget, cfg.n_salts)
+            admitted, deferred = split_by_budget(
+                allowed, cfg.budget, cfg.n_salts,
+                host_budget=hb, broadcast_admitted=cfg.broadcast_admitted,
+            )
         admitted = admitted.persist()
         n_admitted = admitted.count()
         _mark("admit", _since)
@@ -376,6 +418,7 @@ def run_crawl(
                 "n_entities": int(n_parsed),
                 "wall_s": time.time() - t0,
                 "phases": phase_t,
+                **bloom_stats,
             }
         )
         if on_wave is not None:

@@ -37,13 +37,51 @@ def _order_by(cols: list[str] | None) -> list[Column]:
     return [F.col(c).asc() for c in (cols or ORDER_COLS)]
 
 
+def host_budgets(robots: DataFrame, budget: int,
+                 wave_seconds: float = 30.0) -> DataFrame:
+    """(host, host_budget): the per-host wave budget implied by the host's
+    robots ``crawl_delay``. A wave models a fixed ``wave_seconds`` politeness
+    window, so a host declaring delay ``d`` admits at most
+    ``floor(wave_seconds / d)`` fetches per wave — clamped to
+    [1, global budget]: the declared delay can only slow a host below the
+    global budget, never raise it, and never starve it outright (the
+    reference's analog is per-family fixed sleeps that pace but never block:
+    8 s, `独立版/WeiboLikeSpider.py:86`, vs 3 s,
+    `独立版/WeiboComPostSpider.py:51`).
+
+    Only hosts with a declared delay are emitted — everyone else defaults to
+    the global budget at the join (tiny control-plane table, broadcast)."""
+    return (
+        robots.filter(F.col("crawl_delay").isNotNull())
+        .groupBy("host")
+        .agg(F.max("crawl_delay").alias("_delay"))  # most conservative rule
+        .select(
+            "host",
+            F.least(
+                F.lit(budget),
+                F.greatest(
+                    F.lit(1), F.floor(F.lit(float(wave_seconds)) / F.col("_delay"))
+                ),
+            ).cast("int").alias("host_budget"),
+        )
+    )
+
+
 def per_host_topk(frontier: DataFrame, budget: int, n_salts: int = 32,
                   order_cols: list[str] | None = None,
-                  host_col: str = "host") -> DataFrame:
-    """Admit ≤ ``budget`` rows per host this wave; adds ``host_rank``.
+                  host_col: str = "host",
+                  host_budget: DataFrame | None = None) -> DataFrame:
+    """Admit ≤ ``budget`` rows per host this wave (or the host's own
+    ``host_budget`` when given — see :func:`host_budgets`); adds
+    ``host_rank``.
 
     Deterministic: the result set and ranks are a pure function of the data
     (ORDER_COLS ends in canon_url, a key), never of partition layout.
+
+    Per-host budgets are always ≤ the global ``budget``, so the salted
+    phase-1 prune at the global budget stays correct — the exact per-host cap
+    applies in phase 2 via a broadcast join of the tiny (host, host_budget)
+    table.
     """
     order = _order_by(order_cols)
     salt = F.pmod(F.xxhash64(F.col("canon_url"), F.lit(0x9A17)), F.lit(n_salts))
@@ -54,28 +92,41 @@ def per_host_topk(frontier: DataFrame, budget: int, n_salts: int = 32,
         .drop("_r1")
     )
     w2 = Window.partitionBy(host_col).orderBy(*order)
+    ranked = survivors.withColumn("host_rank", F.row_number().over(w2))
+    if host_budget is None:
+        return ranked.filter(F.col("host_rank") <= budget)
     return (
-        survivors.withColumn("host_rank", F.row_number().over(w2))
-        .filter(F.col("host_rank") <= budget)
+        ranked.join(F.broadcast(host_budget), on=host_col, how="left")
+        .filter(F.col("host_rank") <= F.coalesce("host_budget", F.lit(budget)))
+        .drop("host_budget")
     )
 
 
 def split_by_budget(frontier: DataFrame, budget: int, n_salts: int = 32,
-                    order_cols: list[str] | None = None) -> tuple[DataFrame, DataFrame]:
+                    order_cols: list[str] | None = None,
+                    host_budget: DataFrame | None = None,
+                    broadcast_admitted: bool = True) -> tuple[DataFrame, DataFrame]:
     """(admitted, deferred): deferred rows re-enter the next wave unchanged.
 
     Deferred is computed as an anti-join on canon_url (a key) so the two
-    halves partition the frontier exactly. The admitted side is explicitly
-    broadcast: it is bounded by budget × n_hosts per wave (small by
-    construction), while the frontier side is the 10^10-row table — without
-    the hint Catalyst may plan a full shuffle of the frontier just to split
-    out the deferred rows (PLANS.md `split_by_budget` proves the
-    BroadcastHashJoin LeftAnti).
+    halves partition the frontier exactly. With ``broadcast_admitted`` (the
+    default) the admitted side is explicitly broadcast: it is bounded by
+    budget × n_hosts per wave, while the frontier side is the 10^10-row table
+    — without the hint Catalyst may plan a full shuffle of the frontier just
+    to split out the deferred rows (PLANS.md `split_by_budget_deferred`
+    proves the BroadcastHashJoin LeftAnti). When n_hosts is itself unbounded
+    (a broad-web frontier where budget × n_hosts could exceed the 8 GB
+    broadcast limit or driver memory), pass ``broadcast_admitted=False``
+    (CrawlConfig.broadcast_admitted) to drop the hint and let
+    AQE/autoBroadcastJoinThreshold pick — degrading to a shuffled anti-join
+    instead of failing the wave (ADVICE r03 #1).
     """
-    admitted = per_host_topk(frontier, budget, n_salts, order_cols)
-    deferred = frontier.join(
-        F.broadcast(admitted.select("canon_url")), on="canon_url", how="left_anti"
-    )
+    admitted = per_host_topk(frontier, budget, n_salts, order_cols,
+                             host_budget=host_budget)
+    keys = admitted.select("canon_url")
+    if broadcast_admitted:
+        keys = F.broadcast(keys)
+    deferred = frontier.join(keys, on="canon_url", how="left_anti")
     return admitted, deferred
 
 

@@ -123,14 +123,28 @@ def simulate(
     robots_blocked_prefixes: list[tuple[str, str]] | None = None,
     now: datetime = ANCHOR,
     log: list[dict] | None = None,
+    crawl_delays: dict[str, float] | None = None,
+    wave_seconds: float = 30.0,
 ) -> tuple[list[str], set[str]]:
     """→ (visit order of canon urls, final seen set). ``pages`` maps the
     exact url → html bytes (fetch is by literal url, like the reference).
 
     Pass ``log=[]`` to also record one dict per admitted url
     (canon_url, host, wave, rank_in_wave, stage, page, status) — the
-    engine's fetch-log shape, used as the crawl_fetch_log oracle."""
+    engine's fetch-log shape, used as the crawl_fetch_log oracle.
+
+    ``crawl_delays`` maps host → declared robots crawl_delay: that host's
+    per-wave cap becomes min(budget, max(1, floor(wave_seconds / delay))) —
+    the same rule as politeness.host_budgets, kept independent so the two
+    implementations cross-check each other."""
     blocked_rules = robots_blocked_prefixes or []
+    delays = crawl_delays or {}
+
+    def host_cap(h: str) -> int:
+        d = delays.get(h)
+        if d is None:
+            return budget
+        return min(budget, max(1, int(wave_seconds // d)))
 
     def is_blocked(canon: str) -> bool:
         h = _host(canon)
@@ -165,7 +179,7 @@ def simulate(
         admitted, deferred = [], []
         for r in allowed:
             h = _host(r[4])
-            if taken_per_host.get(h, 0) < budget:
+            if taken_per_host.get(h, 0) < host_cap(h):
                 taken_per_host[h] = taken_per_host.get(h, 0) + 1
                 admitted.append(r)
             else:

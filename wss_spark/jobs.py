@@ -127,12 +127,21 @@ class JobTracker:
     # -- read side ----------------------------------------------------------
 
     def status_df(self) -> DataFrame:
-        """Current state per task: keep-last per task_id by seq (W2)."""
+        """Current state per task: keep-last per task_id by (seq, updated_at).
+
+        seq is assigned by the writing tracker (driver-memory counter seeded
+        from the table): the contract is SINGLE WRITER PER TASK — appends
+        from many trackers coexist fine as long as no two update the same
+        task_id concurrently. Should that contract be violated, tied seqs
+        resolve deterministically by updated_at (latest wins) rather than
+        leaving row_number to pick arbitrarily (ADVICE r03 #4)."""
         try:
             log = self.spark.read.schema(STATUS_SCHEMA).parquet(self.status_dir)
         except Exception:
             return self.spark.createDataFrame([], STATUS_SCHEMA)
-        w = Window.partitionBy("task_id").orderBy(F.col("seq").desc())
+        w = Window.partitionBy("task_id").orderBy(
+            F.col("seq").desc(), F.col("updated_at").desc()
+        )
         return (
             log.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -164,6 +173,21 @@ class JobTracker:
         return {"status": cur["status"], "progress": cur["progress"],
                 "message": "task still in progress"}
 
+    def health(self) -> dict:
+        """GET /health (`WeiboDeepAnalyzer/api_server.py:216-224`): liveness +
+        active-task count — one aggregate over the status table (keep-last
+        rows), like the reference counts its pending/running dict entries."""
+        active = (
+            self.status_df()
+            .filter(F.col("status").isin(list(_ACTIVE)))
+            .count()
+        )
+        return {
+            "status": "healthy",
+            "timestamp": self._clock(),
+            "active_tasks": int(active),
+        }
+
     def list(self, limit: int = 20, status: str | None = None) -> DataFrame:
         """GET /api/tasks (`api_server.py:330-343`): newest first by latest
         transition, optional status filter."""
@@ -171,6 +195,25 @@ class JobTracker:
         if status is not None:
             df = df.filter(F.col("status") == status)
         return df.orderBy(F.col("updated_at").desc(), F.col("task_id")).limit(limit)
+
+
+def run_sync(tracker: JobTracker, request_info: dict, fn,
+             task_id: str | None = None) -> dict:
+    """POST /api/analyze/sync (`WeiboDeepAnalyzer/api_server.py:363-395`):
+    run the analysis inline and return the full result payload directly —
+    the reference's small-data variant that skips polling. The status table
+    still records the complete lifecycle, so sync runs are auditable exactly
+    like async ones. ``fn`` is a zero-arg callable returning the
+    JSON-serializable result dict."""
+    task_id = tracker.submit(request_info, task_id=task_id)
+    tracker.update(task_id, "running", 50, "sync analysis running")
+    try:
+        result = fn()
+    except Exception as exc:  # the reference's HTTP-500 branch (`:384`)
+        tracker.fail(task_id, f"{type(exc).__name__}: {exc}")
+        raise
+    tracker.complete(task_id, result)
+    return {"task_id": task_id, "status": "completed", "result": result}
 
 
 def run_tracked_crawl(spark: SparkSession, tracker: JobTracker, pages,
