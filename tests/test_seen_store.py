@@ -1,0 +1,87 @@
+"""Seen-store unit tests: append-only wave dirs + segment compaction must
+serve byte-identical key sets through every layout (loose waves, committed
+segments, mixed, bucket-pruned), ignore uncommitted segments, and respect
+the resume watermark."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from wss_spark.crawl import checkpoint
+
+
+def _keys(spark, wave, n=20, n_buckets=8):
+    rows = [
+        ((wave * 1000 + i) % n_buckets, wave * 1000 + i, f"https://h/{wave}/{i}")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "bucket int, url_hash long, canon_url string")
+
+
+def _collect(df):
+    return sorted((r[0], r[1], r[2]) for r in df.collect())
+
+
+def test_segment_compaction_preserves_reads(spark, tmp_path):
+    root = str(tmp_path / "ck")
+    want = []
+    for w in range(6):
+        df = _keys(spark, w)
+        checkpoint.write_seen_keys(root, w, df)
+        want += _collect(df.select("bucket", "url_hash", "canon_url"))
+    want = sorted(want)
+
+    before = _collect(checkpoint.read_seen_keys(spark, root, 5))
+    assert before == want
+
+    assert checkpoint.compact_seen_keys(spark, root, 0, 3)
+    assert checkpoint.last_compacted_wave(root) == 3
+    after = _collect(checkpoint.read_seen_keys(spark, root, 5))
+    assert after == want  # segment + loose waves = identical key set
+
+    # watermark below the segment's hi: the segment must be ignored and the
+    # (never-deleted) wave dirs serve the read
+    upto2 = _collect(checkpoint.read_seen_keys(spark, root, 2))
+    want2 = sorted(
+        t for w in range(3) for t in _collect(
+            _keys(spark, w).select("bucket", "url_hash", "canon_url"))
+    )
+    assert upto2 == want2
+
+
+def test_bucket_pruned_read_matches_filtered_full_read(spark, tmp_path):
+    root = str(tmp_path / "ck")
+    for w in range(4):
+        checkpoint.write_seen_keys(root, w, _keys(spark, w))
+    checkpoint.compact_seen_keys(spark, root, 0, 1)
+    full = checkpoint.read_seen_keys(spark, root, 3)
+    pruned = checkpoint.read_seen_keys(spark, root, 3, buckets=[1, 5])
+    assert _collect(pruned) == _collect(full.filter(F.col("bucket").isin(1, 5)))
+
+
+def test_uncommitted_segment_ignored(spark, tmp_path):
+    root = str(tmp_path / "ck")
+    for w in range(3):
+        checkpoint.write_seen_keys(root, w, _keys(spark, w))
+    want = _collect(checkpoint.read_seen_keys(spark, root, 2))
+    checkpoint.compact_seen_keys(spark, root, 0, 2)
+    # simulate a crash before the marker: remove it
+    seg = os.path.join(root, "seen_segments", "seg=00000-00002")
+    os.remove(os.path.join(seg, "_SEG_COMMIT.json"))
+    assert checkpoint.last_compacted_wave(root) == -1
+    assert _collect(checkpoint.read_seen_keys(spark, root, 2)) == want
+
+    # re-running the compaction overwrites and commits the same segment
+    checkpoint.compact_seen_keys(spark, root, 0, 2)
+    assert checkpoint.last_compacted_wave(root) == 2
+    assert _collect(checkpoint.read_seen_keys(spark, root, 2)) == want
+    with open(os.path.join(seg, "_SEG_COMMIT.json")) as f:
+        assert json.load(f)["hi"] == 2
+
+
+def test_empty_store_reads_none(spark, tmp_path):
+    root = str(tmp_path / "ck")
+    assert checkpoint.read_seen_keys(spark, root, 10) is None
+    os.makedirs(os.path.join(root, "seen_keys"))
+    assert checkpoint.read_seen_keys(spark, root, 10) is None

@@ -19,6 +19,8 @@ Layout::
       snapshots/wave=00007/{frontier,bloom}/        # per-wave state to resume
       snapshots/wave=00007/_COMMIT.json             # manifest, written last
       seen_keys/wave=00007/bucket=NN/               # APPEND-ONLY exact seen set
+      seen_segments/seg=00000-00004/bucket=NN/      # compacted wave ranges
+      seen_segments/seg=00000-00004/_SEG_COMMIT.json
       logs/fetch_log/wave=00007/                    # append-only lineage
       logs/metrics/wave=00007/
       logs/entities/wave=00007/                     # tall PARSED rows
@@ -105,6 +107,15 @@ def _seen_root(root: str) -> str:
     return os.path.join(root, "seen_keys")
 
 
+def _seg_root(root: str) -> str:
+    return os.path.join(root, "seen_segments")
+
+
+# data columns inside seen files; wave/bucket (and seg) are directory-level
+# partition columns. Explicit schemas everywhere: no footer-based inference.
+_SEEN_FILE_SCHEMA = "url_hash long, canon_url string"
+
+
 def write_seen_keys(root: str, wave: int, newly_seen: DataFrame) -> None:
     """Append one wave's newly-seen keys as ``seen_keys/wave=NNNNN/bucket=B/``.
 
@@ -124,31 +135,141 @@ def write_seen_keys(root: str, wave: int, newly_seen: DataFrame) -> None:
     )
 
 
-def read_seen_keys(spark: SparkSession, root: str, up_to_wave: int,
-                   buckets: list[int] | None = None) -> DataFrame | None:
-    """Exact seen keys with directory-level pruning: ``wave <= up_to_wave``
-    (ignores appends from an uncommitted, crashed wave) and, when given,
-    ``bucket IN buckets`` (only the bloom-maybe slice's buckets are read).
+def _committed_segments(root: str) -> list[tuple[int, int, str]]:
+    """[(lo_wave, hi_wave, path)] of committed seen-key segments, ascending.
+    A segment exists iff its ``_SEG_COMMIT.json`` does (written last)."""
+    sr = _seg_root(root)
+    if not os.path.isdir(sr):
+        return []
+    out = []
+    for e in sorted(os.listdir(sr)):
+        if not e.startswith("seg="):
+            continue
+        if not os.path.exists(os.path.join(sr, e, "_SEG_COMMIT.json")):
+            continue  # crashed compaction: ignored, wave dirs still serve
+        lo, hi = e[len("seg="):].split("-")
+        out.append((int(lo), int(hi), os.path.join(sr, e)))
+    return out
 
-    Only the genuinely-empty store reads as None (missing dir above /
-    schema-inference failure on a dir with no committed parquet yet —
-    AnalysisException). Any other read error RE-RAISES: swallowing it would
-    silently skip the exact seen anti-join for the wave and re-admit
-    already-crawled URLs with no signal (ADVICE r03 #2)."""
-    from pyspark.errors import AnalysisException
-    from pyspark.sql import functions as F
 
+def _seen_wave_dirs(root: str, up_to_wave: int,
+                    skip_waves: set[int] | None = None) -> list[tuple[int, str]]:
     sr = _seen_root(root)
     if not os.path.isdir(sr):
+        return []
+    out = []
+    for e in sorted(os.listdir(sr)):
+        if not e.startswith("wave="):
+            continue
+        w = int(e.split("=")[1])
+        if w > up_to_wave or (skip_waves and w in skip_waves):
+            continue
+        out.append((w, os.path.join(sr, e)))
+    return out
+
+
+def compact_seen_keys(spark: SparkSession, root: str, lo: int, hi: int) -> bool:
+    """Iceberg-style small-file maintenance for the seen store: merge wave
+    dirs [lo..hi] into ONE segment dir (one file per bucket), committed by a
+    marker written last. The source wave dirs are never deleted — a crashed
+    compaction leaves only an uncommitted segment that readers ignore, and
+    re-running overwrites it. Rewrite cost is O(keys in the window), never
+    O(total-seen), so total write amplification over a crawl is a flat 2×
+    (every key: one wave append + one segment merge).
+
+    Why it exists: without compaction a W-wave crawl's seen store is
+    W × n_buckets tiny files, and EVERY wave's exact anti-join pays the
+    open/list cost of all of them — the measured admit-phase growth at the
+    30-wave bench (4.5 s → 9.4 s) was file-count, not data volume (the bloom
+    had ZERO false positives). On a real warehouse the same maintenance is
+    Iceberg's rewrite_data_files; the bucket partitioning is unchanged."""
+    dirs = [p for _w, p in _seen_wave_dirs(root, hi) if _w >= lo]
+    if not dirs:
+        return False
+    df = (
+        spark.read.option("basePath", _seen_root(root))
+        .schema(_SEEN_FILE_SCHEMA + ", wave int, bucket int")
+        .parquet(*dirs)
+    )
+    seg_dir = os.path.join(_seg_root(root), f"seg={lo:05d}-{hi:05d}")
+    (
+        df.select("bucket", "url_hash", "canon_url")
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(seg_dir)
+    )
+    marker = {"lo": lo, "hi": hi, "committed_at": time.time()}
+    tmp = os.path.join(seg_dir, "_SEG_COMMIT.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(marker, f)
+    os.replace(tmp, os.path.join(seg_dir, "_SEG_COMMIT.json"))
+    return True
+
+
+def last_compacted_wave(root: str) -> int:
+    segs = _committed_segments(root)
+    return max((hi for _lo, hi, _p in segs), default=-1)
+
+
+def read_seen_keys(spark: SparkSession, root: str, up_to_wave: int,
+                   buckets: list[int] | None = None) -> DataFrame | None:
+    """Exact seen keys with directory-level pruning: committed segments with
+    ``hi <= up_to_wave`` serve their wave ranges (one file per bucket), loose
+    wave dirs serve the rest (``wave <= up_to_wave`` ignores appends from an
+    uncommitted, crashed wave), and when ``buckets`` is given only those
+    bucket subdirectories are passed to the reader at all (only the
+    bloom-maybe slice's buckets are opened).
+
+    The paths are enumerated HERE (the writer owns the layout) with explicit
+    schemas — Spark never lists or infers over the store root, so the
+    per-wave read cost is O(selected files), not O(history). An unreadable
+    committed file RAISES: swallowing it would silently skip the exact seen
+    anti-join for the wave and re-admit already-crawled URLs with no signal
+    (ADVICE r03 #2)."""
+
+    segs = []
+    covered: set[int] = set()
+    for lo, hi, p in _committed_segments(root):
+        if hi <= up_to_wave and not (covered & set(range(lo, hi + 1))):
+            covered.update(range(lo, hi + 1))
+            segs.append((lo, hi, p))
+    wave_dirs = _seen_wave_dirs(root, up_to_wave, skip_waves=covered)
+
+    def _leafs(parent_dirs: list[str]) -> list[str]:
+        if buckets is None:
+            return parent_dirs
+        out = []
+        for d in parent_dirs:
+            for b in buckets:
+                bd = os.path.join(d, f"bucket={int(b)}")
+                if os.path.isdir(bd):
+                    out.append(bd)
+        return out
+
+    parts = []
+    seg_paths = _leafs([p for _lo, _hi, p in segs])
+    if seg_paths:
+        parts.append(
+            spark.read.option("basePath", _seg_root(root))
+            .schema(_SEEN_FILE_SCHEMA + ", seg string, bucket int")
+            .parquet(*seg_paths)
+            .select("bucket", "url_hash", "canon_url")
+        )
+    wave_paths = _leafs([p for _w, p in wave_dirs])
+    if wave_paths:
+        parts.append(
+            spark.read.option("basePath", _seen_root(root))
+            .schema(_SEEN_FILE_SCHEMA + ", wave int, bucket int")
+            .parquet(*wave_paths)
+            .select("bucket", "url_hash", "canon_url")
+        )
+    if not parts:
         return None
-    try:
-        df = spark.read.parquet(sr)
-    except AnalysisException:
-        return None  # no committed files yet (empty dir → no schema)
-    df = df.filter(F.col("wave") <= up_to_wave)
-    if buckets is not None:
-        df = df.filter(F.col("bucket").isin([int(b) for b in buckets]))
-    return df.select("bucket", "url_hash", "canon_url")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
 
 def read_log_wave(spark: SparkSession, root: str, name: str, wave: int,

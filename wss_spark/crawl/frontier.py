@@ -84,6 +84,9 @@ class CrawlConfig:
     # it double-sorts the full payload — skip it when the input is known
     # canonical.
     dedup_pages: bool = True
+    # seen-store small-file maintenance on the snapshot cadence (see
+    # checkpoint.compact_seen_keys); off only for write-cost experiments
+    compact_seen: bool = True
     # diagnostics: record per-wave bloom-maybe slice size and its
     # false-positive share (maybe rows that the exact store proves NEW) in
     # metrics — two extra counts per wave, off in production
@@ -393,6 +396,18 @@ def run_crawl(
                 {"n_frontier": n_frontier, "n_admitted": n_admitted},
             )
             next_frontier, bloom_next = checkpoint.read_state(spark, root, wave)
+            # seen-store maintenance on the snapshot cadence: merge the
+            # uncompacted wave dirs ≤ this committed snapshot into one
+            # segment (one file per bucket) so the per-wave exact anti-join
+            # opens O(segments + cadence) files, not O(waves) — the measured
+            # admit-phase growth was file count, not data (see
+            # checkpoint.compact_seen_keys). Safe w.r.t. resume: a segment
+            # commits only after its covering snapshot, wave dirs are never
+            # deleted, and compaction cost is O(window), never O(total).
+            if cfg.compact_seen:
+                c_lo = checkpoint.last_compacted_wave(root) + 1
+                if wave > c_lo:
+                    checkpoint.compact_seen_keys(spark, root, c_lo, wave)
         else:
             # localCheckpoint TRUNCATES the logical plan (persist alone does
             # not): without it the wave-over-wave plan nests multiplicatively
