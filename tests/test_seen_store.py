@@ -85,3 +85,54 @@ def test_empty_store_reads_none(spark, tmp_path):
     assert checkpoint.read_seen_keys(spark, root, 10) is None
     os.makedirs(os.path.join(root, "seen_keys"))
     assert checkpoint.read_seen_keys(spark, root, 10) is None
+
+
+def test_flat_l0_append_reads_identically_to_bucketed(spark, tmp_path):
+    """A wave appended flat (n_keys ≤ flat_max_keys: one bucket-sorted file,
+    bucket as a data column) must serve the exact same key set, full and
+    bucket-pruned, as the bucketed layout."""
+    root_flat = str(tmp_path / "flat")
+    root_buck = str(tmp_path / "buck")
+    for w in range(4):
+        df = _keys(spark, w)
+        checkpoint.write_seen_keys(root_flat, w, df, n_keys=20)
+        checkpoint.write_seen_keys(root_buck, w, df)  # n_keys unknown → bucketed
+    # layout really differs
+    assert checkpoint._is_flat_wave_dir(
+        os.path.join(root_flat, "seen_keys", "wave=00000"))
+    assert not checkpoint._is_flat_wave_dir(
+        os.path.join(root_buck, "seen_keys", "wave=00000"))
+    assert _collect(checkpoint.read_seen_keys(spark, root_flat, 3)) == \
+        _collect(checkpoint.read_seen_keys(spark, root_buck, 3))
+    assert _collect(checkpoint.read_seen_keys(spark, root_flat, 3, buckets=[1, 5])) == \
+        _collect(checkpoint.read_seen_keys(spark, root_buck, 3, buckets=[1, 5]))
+
+
+def test_compaction_merges_mixed_flat_and_bucketed_waves(spark, tmp_path):
+    """Compaction must normalize a mixed window (flat L0 + bucketed waves)
+    into one bucketed segment serving the identical key set."""
+    root = str(tmp_path / "ck")
+    want = []
+    for w in range(4):
+        df = _keys(spark, w)
+        # alternate layouts inside the compaction window
+        n_keys = 20 if w % 2 == 0 else None
+        checkpoint.write_seen_keys(root, w, df, n_keys=n_keys)
+        want += _collect(df.select("bucket", "url_hash", "canon_url"))
+    assert checkpoint.compact_seen_keys(spark, root, 0, 3)
+    seg = os.path.join(root, "seen_segments", "seg=00000-00003")
+    assert os.path.exists(os.path.join(seg, "_SEG_COMMIT.json"))
+    # segment output is bucketed regardless of source layout
+    assert any(e.startswith("bucket=") for e in os.listdir(seg))
+    assert _collect(checkpoint.read_seen_keys(spark, root, 3)) == sorted(want)
+    assert _collect(
+        checkpoint.read_seen_keys(spark, root, 3, buckets=[2])
+    ) == sorted(t for t in want if t[0] == 2)
+
+
+def test_flat_threshold_zero_forces_bucketed(spark, tmp_path):
+    root = str(tmp_path / "ck")
+    checkpoint.write_seen_keys(root, 0, _keys(spark, 0), n_keys=20,
+                               flat_max_keys=0)
+    assert not checkpoint._is_flat_wave_dir(
+        os.path.join(root, "seen_keys", "wave=00000"))

@@ -19,6 +19,9 @@ Layout::
       snapshots/wave=00007/{frontier,bloom}/        # per-wave state to resume
       snapshots/wave=00007/_COMMIT.json             # manifest, written last
       seen_keys/wave=00007/bucket=NN/               # APPEND-ONLY exact seen set
+      seen_keys/wave=00008/part-*.parquet           # …or flat L0 append (small
+                                                    # wave: bucket-sorted file,
+                                                    # bucket as a data column)
       seen_segments/seg=00000-00004/bucket=NN/      # compacted wave ranges
       seen_segments/seg=00000-00004/_SEG_COMMIT.json
       logs/fetch_log/wave=00007/                    # append-only lineage
@@ -42,6 +45,7 @@ import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _wave_dir(root: str, wave: int) -> str:
@@ -114,25 +118,63 @@ def _seg_root(root: str) -> str:
 # data columns inside seen files; wave/bucket (and seg) are directory-level
 # partition columns. Explicit schemas everywhere: no footer-based inference.
 _SEEN_FILE_SCHEMA = "url_hash long, canon_url string"
+# flat (L0) wave appends keep bucket as a DATA column instead of a directory
+_SEEN_FLAT_FILE_SCHEMA = "bucket int, url_hash long, canon_url string"
 
 
-def write_seen_keys(root: str, wave: int, newly_seen: DataFrame) -> None:
-    """Append one wave's newly-seen keys as ``seen_keys/wave=NNNNN/bucket=B/``.
+def _is_flat_wave_dir(path: str) -> bool:
+    """A wave dir is flat (L0 layout) iff it has no ``bucket=`` subdirs."""
+    try:
+        return not any(e.startswith("bucket=") for e in os.listdir(path))
+    except FileNotFoundError:
+        return False
+
+
+def write_seen_keys(root: str, wave: int, newly_seen: DataFrame,
+                    n_keys: int | None = None,
+                    flat_max_keys: int = 50_000) -> None:
+    """Append one wave's newly-seen keys under ``seen_keys/wave=NNNNN/``.
 
     ``newly_seen`` carries (bucket, url_hash, canon_url). Re-running a wave
     (crash before its snapshot committed) overwrites its own directory with
-    the same deterministic rows — idempotent, like write_log. The
-    ``repartition("bucket")`` bounds output to one file per touched bucket
-    (the write itself shuffles only this wave's narrow keys, never history).
-    On a real cluster this is an Iceberg append to a table partitioned by
-    ``bucket(B, canon_url)``."""
-    (
-        newly_seen.select("bucket", "url_hash", "canon_url")
-        .repartition("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(_seen_root(root), f"wave={wave:05d}"))
-    )
+    the same deterministic rows — idempotent, like write_log.
+
+    Two layouts, LSM-style (the caller already knows the wave's key count —
+    it counted the admitted set — so the choice costs nothing):
+
+    - **flat L0 append** (``n_keys`` given and ≤ ``flat_max_keys``): ONE
+      file per wave, rows sorted by ``bucket`` so parquet row-group zone
+      maps still prune bucket probes. A bucketed write of a small wave pays
+      a shuffle plus one file-create per touched bucket (measured ~10× the
+      flat write at sandbox wave sizes) for directories compaction is about
+      to merge anyway.
+    - **bucketed append** (large wave, or ``n_keys`` unknown):
+      ``bucket=B/`` subdirectories, one file per touched bucket — the
+      directory-level prune pays for itself once a single wave's keys
+      dwarf the read amplification of the loose-wave window.
+
+    Compaction (:func:`compact_seen_keys`) normalizes BOTH layouts into
+    bucketed segments, so at any moment readers see at most ``cadence``
+    loose wave dirs of either kind. On a real cluster this is an Iceberg
+    append to a table partitioned by ``bucket(B, canon_url)`` with a
+    bucket sort order — Iceberg likewise defers small-file layout to
+    rewrite_data_files."""
+    dest = os.path.join(_seen_root(root), f"wave={wave:05d}")
+    keys = newly_seen.select("bucket", "url_hash", "canon_url")
+    if n_keys is not None and n_keys <= flat_max_keys:
+        (
+            keys.coalesce(1)
+            .sortWithinPartitions("bucket")
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+    else:
+        (
+            keys.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(dest)
+        )
 
 
 def _committed_segments(root: str) -> list[tuple[int, int, str]]:
@@ -186,11 +228,26 @@ def compact_seen_keys(spark: SparkSession, root: str, lo: int, hi: int) -> bool:
     dirs = [p for _w, p in _seen_wave_dirs(root, hi) if _w >= lo]
     if not dirs:
         return False
-    df = (
-        spark.read.option("basePath", _seen_root(root))
-        .schema(_SEEN_FILE_SCHEMA + ", wave int, bucket int")
-        .parquet(*dirs)
-    )
+    flat = [p for p in dirs if _is_flat_wave_dir(p)]
+    bucketed = [p for p in dirs if p not in flat]
+    parts = []
+    if bucketed:
+        parts.append(
+            spark.read.option("basePath", _seen_root(root))
+            .schema(_SEEN_FILE_SCHEMA + ", wave int, bucket int")
+            .parquet(*bucketed)
+            .select("bucket", "url_hash", "canon_url")
+        )
+    if flat:
+        parts.append(
+            spark.read.option("basePath", _seen_root(root))
+            .schema(_SEEN_FLAT_FILE_SCHEMA + ", wave int")
+            .parquet(*flat)
+            .select("bucket", "url_hash", "canon_url")
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
     seg_dir = os.path.join(_seg_root(root), f"seg={lo:05d}-{hi:05d}")
     (
         df.select("bucket", "url_hash", "canon_url")
@@ -256,7 +313,9 @@ def read_seen_keys(spark: SparkSession, root: str, up_to_wave: int,
             .parquet(*seg_paths)
             .select("bucket", "url_hash", "canon_url")
         )
-    wave_paths = _leafs([p for _w, p in wave_dirs])
+    flat_dirs = [p for _w, p in wave_dirs if _is_flat_wave_dir(p)]
+    bucketed_dirs = [p for _w, p in wave_dirs if p not in flat_dirs]
+    wave_paths = _leafs(bucketed_dirs)
     if wave_paths:
         parts.append(
             spark.read.option("basePath", _seen_root(root))
@@ -264,6 +323,18 @@ def read_seen_keys(spark: SparkSession, root: str, up_to_wave: int,
             .parquet(*wave_paths)
             .select("bucket", "url_hash", "canon_url")
         )
+    if flat_dirs:
+        # flat L0 appends: bucket is a data column; the prune is a pushed
+        # parquet predicate over bucket-sorted row groups (zone maps) —
+        # column-level rather than directory-level, same selectivity
+        flat = (
+            spark.read.option("basePath", _seen_root(root))
+            .schema(_SEEN_FLAT_FILE_SCHEMA + ", wave int")
+            .parquet(*flat_dirs)
+        )
+        if buckets is not None:
+            flat = flat.filter(F.col("bucket").isin([int(b) for b in buckets]))
+        parts.append(flat.select("bucket", "url_hash", "canon_url"))
     if not parts:
         return None
     df = parts[0]

@@ -87,6 +87,12 @@ class CrawlConfig:
     # seen-store small-file maintenance on the snapshot cadence (see
     # checkpoint.compact_seen_keys); off only for write-cost experiments
     compact_seen: bool = True
+    # waves with ≤ this many newly-seen keys append as ONE bucket-sorted
+    # flat file (L0) instead of a bucket-partitioned directory — the
+    # bucketed write of a small wave costs ~10× the flat one, and
+    # compaction normalizes both into bucketed segments (see
+    # checkpoint.write_seen_keys). 0 forces bucketed appends always.
+    seen_flat_max_keys: int = 50_000
     # diagnostics: record per-wave bloom-maybe slice size and its
     # false-positive share (maybe rows that the exact store proves NEW) in
     # metrics — two extra counts per wave, off in production
@@ -371,7 +377,11 @@ def run_crawl(
             newly_seen = newly_seen.unionByName(
                 blocked.select("bucket", "url_hash", "canon_url")
             )
-        checkpoint.write_seen_keys(root, wave, newly_seen)
+        checkpoint.write_seen_keys(
+            root, wave, newly_seen,
+            n_keys=n_admitted + n_blocked,
+            flat_max_keys=cfg.seen_flat_max_keys,
+        )
         last_seen_wave = wave
         bloom_next = bloom.update(bloom_state, newly_seen, cfg.m_bits, cfg.bloom_k)
 
