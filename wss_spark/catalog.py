@@ -1030,10 +1030,11 @@ def dd_minhash_signatures(spark, sf):
     """,
 )
 def dd_lsh_candidates(spark, sf):
-    """MinHash-LSH candidate pairs (bands of 2 rows over k=8 signatures)."""
+    """MinHash-LSH candidate pairs (bands of 2 rows over k=8 signatures).
+    Wide signature row → shuffle-free band projection (lsh_bands_wide)."""
     sh = dedup.shingles(_t(spark, sf, "documents"), 3)
     return dedup.lsh_candidate_pairs(
-        dedup.lsh_bands(dedup.minhash_signatures(sh, 8), 2)
+        dedup.lsh_bands_wide(dedup.minhash_signatures_wide(sh, 8), 8, 2)
     )
 
 

@@ -97,12 +97,20 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     """Distinct word n-gram shingles per doc: (doc_id, shingle).
 
     JVM-side: split → sequence → transform(slice+join) → explode. No Python.
+
+    The word array is materialized as its own projection BEFORE the
+    higher-order transform: referencing the ``split`` expression inside the
+    lambda makes Catalyst re-evaluate the full split once per gram element
+    (no common-subexpression elimination across a lambda boundary) —
+    measured 10× slower on 300-char docs.
     """
     words = F.split(normalize_text(text_col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    wdf = docs.select(F.col(id_col).alias("doc_id"), words.alias("_ws"))
+    w = F.col("_ws")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        wdf.select("doc_id", F.explode(grams).alias("shingle"))
         .distinct()
     )
 
@@ -151,20 +159,34 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.8,
 # ---------------------------------------------------------------------------
 
 
+def minhash_signatures_wide(sh: DataFrame, k: int = 16) -> DataFrame:
+    """(doc_id, sig_0 … sig_{k-1}) in ONE aggregation over the shingle frame.
+
+    The k permutations are k min-aggregate expressions over the same hashed
+    shingle column, not a crossJoin: exploding the tall (doc_id, shingle)
+    frame k-fold multiplies the shuffle by k and feeds a (doc_id, j)
+    hash-agg k times the rows, while k aggs over one groupBy(doc_id) get
+    map-side partial aggregation on the unexploded size — at 100 TB the
+    shuffle is the corpus's distinct shingles once, not k times."""
+    x = portable_hash28("shingle")
+    aggs = [
+        F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(MINHASH_P))).alias(f"sig_{j}")
+        for j, a, b in minhash_params(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(sh: DataFrame, k: int = 16) -> DataFrame:
-    """(doc_id, j, sig): sig_j = min over shingles of (a_j*h28(shingle)+b_j) mod p."""
-    spark = sh.sparkSession
-    params = spark.createDataFrame(minhash_params(k), "j int, a long, b long")
-    hashed = sh.select("doc_id", portable_hash28("shingle").alias("x"))
-    return (
-        hashed.crossJoin(F.broadcast(params))
-        .select(
-            "doc_id",
-            "j",
-            F.pmod(F.col("a") * F.col("x") + F.col("b"), F.lit(MINHASH_P)).alias("hv"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.min("hv").alias("sig"))
+    """(doc_id, j, sig): sig_j = min over shingles of (a_j*h28(shingle)+b_j) mod p.
+
+    Tall view of :func:`minhash_signatures_wide` (same values; the unpivot
+    is a stack projection, not a shuffle)."""
+    wide = minhash_signatures_wide(sh, k)
+    stack_args: list = [F.lit(k)]
+    for j in range(k):
+        stack_args += [F.lit(j), F.col(f"sig_{j}")]
+    return wide.select(
+        "doc_id", F.stack(*stack_args).alias("j", "sig")
     )
 
 
@@ -182,6 +204,28 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
                 ",",
             ).alias("band_key")
         )
+    )
+
+
+def lsh_bands_wide(wide: DataFrame, k: int,
+                   rows_per_band: int = 2) -> DataFrame:
+    """(doc_id, band, band_key) straight from the wide signature row — a
+    pure projection (explode of a literal-sized array), NO shuffle: the
+    tall path's groupBy(doc_id, band) re-aggregates rows the wide frame
+    already holds together. Band keys are byte-identical to
+    :func:`lsh_bands` (ordered comma-joined sig strings)."""
+    entries = []
+    for b in range(0, (k + rows_per_band - 1) // rows_per_band):
+        js = range(b * rows_per_band, min((b + 1) * rows_per_band, k))
+        entries.append(F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[F.col(f"sig_{j}").cast("string") for j in js])
+             .alias("band_key"),
+        ))
+    return (
+        wide.select("doc_id", F.explode(F.array(*entries)).alias("e"))
+        .select("doc_id", F.col("e.band").alias("band"),
+                F.col("e.band_key").alias("band_key"))
     )
 
 
@@ -214,7 +258,9 @@ def minhash_lsh_dedup(docs: DataFrame, n: int = 3, k: int = 16,
     """Full near-dup pipeline: shingle → minhash → LSH bands → candidate
     pairs → exact Jaccard on candidates only."""
     sh = shingles(docs, n)
-    cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, k), rows_per_band))
+    cands = lsh_candidate_pairs(
+        lsh_bands_wide(minhash_signatures_wide(sh, k), k, rows_per_band)
+    )
     return jaccard_pairs(sh, threshold, candidates=cands)
 
 
