@@ -376,9 +376,13 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     bit_i(simhash) = 1 iff sum over tokens of (+1 if bit_i(h28(token)) else -1) > 0.
 
     Tokens repeat, so votes are aggregated over DISTINCT token hashes first
-    (weighted by occurrence count) and the 28-bit explode runs on the much
-    smaller distinct frame — the r01 version exploded 28 rows per token
-    occurrence (a 28× row amplifier on raw token volume).
+    (weighted by occurrence count) — and the 28 bit-position sums are 28
+    aggregate EXPRESSIONS over one groupBy(doc_id), not an exploded
+    (doc_id, i) frame: exploding 28 rows per distinct token multiplies the
+    shuffle 28-fold and adds a second aggregation exchange, while 28
+    conditional sums get map-side partial aggregation on the unexploded
+    size (the same shape as minhash_signatures_wide; the r01 version
+    additionally exploded per token OCCURRENCE).
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -390,30 +394,21 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         .groupBy("doc_id", "x")
         .agg(F.count("*").alias("cnt"))
     )
-    # shiftright/shiftleft take literal shift amounts only → use exact 2^i
-    # arithmetic (i ≤ 27, well inside double precision)
-    bit_i = F.floor(F.col("x") / F.pow(F.lit(2.0), F.col("i"))).cast("long").bitwiseAND(F.lit(1))
-    bits = hashed.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
-        F.col("x"),
-        F.col("cnt"),
-    ).select(
-        "doc_id",
-        "i",
-        F.when(bit_i == 1, F.col("cnt")).otherwise(-F.col("cnt")).alias("vote"),
-    )
-    return (
-        bits.groupBy("doc_id", "i")
-        .agg(F.sum("vote").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("i")).cast("long"))
+    # i is a Python literal here, so shiftright (literal shift only) works
+    vote_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)) == 1,
+                   F.col("cnt")).otherwise(-F.col("cnt"))
+        ).alias(f"_s_{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*vote_sums)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"_s_{i}") > 0, F.lit(1 << i).cast("long")) \
                 .otherwise(F.lit(0).cast("long"))
-            ).cast("long").alias("simhash")
-        )
-    )
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(sims: DataFrame, block_col: DataFrame | None = None,

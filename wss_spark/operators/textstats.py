@@ -45,17 +45,27 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, lang_pred, lang_score): argmax marker-count heuristic with a
-    fixed precedence tie-break; 'und' when no marker hits."""
+    fixed precedence tie-break; 'und' when no marker hits.
+
+    The per-language scores are materialized as their own projection before
+    the argmax when-chain: inlining them makes the running-max expression
+    tree re-embed every earlier score twice per step (the tree doubles per
+    language), so each row re-runs the full-text replace counts dozens of
+    times — measured ~5× slower than the two-projection form."""
     scores = lang_scores(F.col(text_col))
+    sdf = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[scores[lang].alias(f"_s_{lang}") for lang in LANG_ORDER],
+    )
     best = F.lit(0)
     pred = F.lit("und")
     # precedence: earlier languages win ties → strict > against running best
     for lang in LANG_ORDER:
-        s = scores[lang]
+        s = F.col(f"_s_{lang}")
         pred = F.when(s > best, F.lit(lang)).otherwise(pred)
         best = F.when(s > best, s).otherwise(best)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return sdf.select(
+        "doc_id",
         pred.alias("lang_pred"),
         best.cast("int").alias("lang_score"),
     )
