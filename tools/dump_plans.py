@@ -32,7 +32,11 @@ CASES = [
      "on content-derived hashes, never on doc ids (skew-free) — and BOTH "
      "join sides read the persisted bands (InMemoryTableScan): the "
      "shingle→minhash→band pipeline appears ONCE, not once per side "
-     "(r01 finding fixed)"),
+     "(r01 finding fixed). Since r04 the signature matrix is ONE "
+     "groupBy(doc_id) with k min-aggregates (no crossJoin row "
+     "amplification — the only Exchange below the bands carries the "
+     "unexploded shingle frame) and band keys are a pure projection of "
+     "the wide signature row (no second aggregation exchange)"),
     ("ann_cosine_topk",
      "query side broadcast (nested-loop over the tiny query set), cosine in "
      "JVM higher-order functions, per-query rank window"),
