@@ -214,6 +214,10 @@ def run_crawl(
         wave = 0
         last_seen_wave = -1
         metrics = []
+    # provably-empty bloom (cold start, nothing appended yet): the prefilter
+    # is the constant False — skip the cogroup round-trip. A resumed state
+    # may carry bits, so resume never takes the shortcut.
+    bloom_is_empty = snap is None
 
     fetch_log_parts: list[DataFrame] = []
     last_committed = wave - 1
@@ -246,7 +250,12 @@ def run_crawl(
         # ``flagged`` is persisted because three consumers branch off it
         # (bucket probe, definitely_new, maybe) — the cogroup bloom probe
         # must run once per wave.
-        flagged = bloom.prefilter(cand, bloom_state, cfg.m_bits, cfg.bloom_k).persist()
+        if bloom_is_empty:
+            flagged = cand.withColumn("maybe_seen", F.lit(False)).persist()
+        else:
+            flagged = bloom.prefilter(
+                cand, bloom_state, cfg.m_bits, cfg.bloom_k
+            ).persist()
         definitely_new = flagged.filter(~F.col("maybe_seen"))
         maybe = flagged.filter(F.col("maybe_seen"))
         confirmed_new = maybe
@@ -384,6 +393,8 @@ def run_crawl(
         )
         last_seen_wave = wave
         bloom_next = bloom.update(bloom_state, newly_seen, cfg.m_bits, cfg.bloom_k)
+        if n_admitted + n_blocked > 0:
+            bloom_is_empty = False
 
         # 8. discover next wave; deferred rows re-enter unchanged
         n_deferred = 0
