@@ -245,3 +245,33 @@ def test_top_influencers(spark):
     assert [(r["reposter"], r["degree"]) for r in sorted(g, key=lambda r: r["rnk"])] == [
         (1, 2), (2, 1),
     ]
+
+
+def test_jaccard_candidate_restriction_matches_full(spark):
+    """jaccard_pairs(candidates=C) must equal the full pair computation
+    filtered to C — the candidate path only restricts WHICH pairs are
+    scored, never their values (it joins the pair list to each side's
+    shingles instead of semi-joining after the full self-join)."""
+    from wss_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 3} epsilon zeta") for i in range(12)]
+        + [(100, "totally different words here now"),
+           (101, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingles(docs, 3).persist()
+    full = dedup.jaccard_pairs(sh, threshold=0.1)
+    cands = spark.createDataFrame(
+        [(0, 3), (3, 6), (100, 101), (0, 100)], "doc_a long, doc_b long"
+    )
+    restricted = dedup.jaccard_pairs(sh, threshold=0.1, candidates=cands)
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in full.join(cands, ["doc_a", "doc_b"], "left_semi").collect()
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in restricted.collect()
+    )
+    assert got == want and len(got) > 0
+    sh.unpersist()

@@ -999,6 +999,53 @@ def _minhash_params_sql(k: int) -> str:
 
 
 @_q(
+    "dd_near_dedup",
+    f"""
+    WITH RECURSIVE {_SH_SQL},
+    {_minhash_params_sql(8)},
+    hx AS (SELECT doc_id, {_h28('shingle')} AS x FROM sh),
+    sig AS (SELECT doc_id, j, MIN((a * x + b) % {dedup.MINHASH_P}) AS sig
+            FROM hx CROSS JOIN params GROUP BY doc_id, j),
+    bands AS (SELECT doc_id, j // 2 AS band,
+                     string_agg(sig::VARCHAR, ',' ORDER BY j) AS bkey
+              FROM sig GROUP BY doc_id, j // 2),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE ROUND(CAST(n_inter AS DOUBLE)
+                          / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                    UNION
+                    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_rep)
+    """,
+)
+def dd_near_dedup(spark, sf):
+    """END-TO-END near-dedup: documents in → surviving doc ids out, through
+    the full scale path (shingle → wide minhash → shuffle-free LSH bands →
+    candidate-restricted Jaccard → hash-min components → keep min-id rep).
+    The DuckDB oracle replays the whole chain independently, including the
+    recursive-CTE transitive closure — the one query a training-data
+    pipeline user actually runs."""
+    return dedup.dedup_near(
+        _t(spark, sf, "documents"), n=3, k=8, rows_per_band=2, threshold=0.2
+    ).select("doc_id")
+
+
+@_q(
     "dd_minhash_signatures",
     f"""
     WITH {_SH_SQL},
@@ -2259,6 +2306,10 @@ _DEMOTED = [
     # inside the window:
     "j8_order_edges",         # g1_repost_degree re-runs the same edge build
     "u3_union_slices",        # set_ops_buyers keeps union/intersect/except
+    # demoted r04b to fit dd_near_dedup: the signature VALUES flow verbatim
+    # into dd_lsh_candidates' band keys (string renders of the same sigs),
+    # which stays in-window — a signature error cannot pass that gate
+    "dd_minhash_signatures",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the
@@ -2285,6 +2336,7 @@ WINDOW_CRITICAL = [
     "dd_embedding_pairs_blocked",
     "dd_dup_clusters",
     "g1_repost_degree",
+    "dd_near_dedup",
 ]
 DRIVER_WINDOW = 50
 

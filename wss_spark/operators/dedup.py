@@ -131,16 +131,30 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.8,
     """
     sh = _persist_for_self_join(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        # candidate-restricted: join the pair list to each side's shingles
+        # and count matches — the intersection aggregation runs over
+        # O(candidate pairs × shingles-per-doc), never over every pair of
+        # docs sharing a shingle (a semi-join AFTER the full self-join
+        # aggregation would still pay the all-sharing-pairs shuffle).
+        sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            candidates.select("doc_a", "doc_b")
+            .join(sha, "doc_a")
+            .join(shb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
