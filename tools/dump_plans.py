@@ -37,6 +37,12 @@ CASES = [
      "amplification — the only Exchange below the bands carries the "
      "unexploded shingle frame) and band keys are a pure projection of "
      "the wide signature row (no second aggregation exchange)"),
+    ("dd_near_dedup",
+     "the end-to-end near-dedup: the Jaccard intersection aggregates over "
+     "the LSH candidate pair list joined to each side's shingles (no "
+     "all-sharing-pairs self-join aggregation anywhere in the plan), the "
+     "shingle subtree is persisted once (InMemoryTableScan on every "
+     "consumer), and the final keep-set is a left_anti equi-join on doc_id"),
     ("ann_cosine_topk",
      "query side broadcast (nested-loop over the tiny query set), cosine in "
      "JVM higher-order functions, per-query rank window"),
