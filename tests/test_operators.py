@@ -125,6 +125,48 @@ def test_srp_recalls_identical_vector(spark):
     assert by_rank and by_rank[0]["nid"] == 99 and by_rank[0]["sim"] == 1.0
 
 
+def test_ivf_topk_recall_and_invariance(spark):
+    """The IVF coarse-quantizer ANN path: recall@5 vs the exact baseline,
+    candidates a strict subset relationship is NOT required (probing may
+    miss), but the result must be identical under a different partition
+    layout (pure function of data, the crawl-ordering rule applied to ANN),
+    and an exact duplicate vector must always be recalled (same cell)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["qid"], r["nid"])
+        for r in similarity.brute_force_topk(emb, q, k=5).select("qid", "nid").collect()
+    }
+    got = similarity.ivf_topk(emb, q, k=5, centroid_mod=63, n_probe=3)
+    approx = {(r["qid"], r["nid"]) for r in got.select("qid", "nid").collect()}
+    recall = len(exact & approx) / len(exact)
+    # near-uniform synthetic embeddings are IVF's worst case (neighbors
+    # spread across cells); real text-embedding corpora cluster and need
+    # fewer probes for the same recall
+    assert recall >= 0.7, f"IVF recall@5 too low: {recall}"
+
+    one_probe = similarity.ivf_topk(emb, q, k=5, centroid_mod=63, n_probe=1)
+    r1 = {(r["qid"], r["nid"]) for r in one_probe.select("qid", "nid").collect()}
+    assert len(exact & r1) <= len(exact & approx)  # recall monotone in n_probe
+
+    relaid = similarity.ivf_topk(
+        emb.repartition(7, "vec_id"), q.coalesce(1), k=5, centroid_mod=63, n_probe=3
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, relaid.collect()))
+    emb.unpersist()
+
+
+def test_ivf_recalls_identical_vector(spark):
+    vecs = [(i, [float((i * 13 + d * 7) % 97 - 48) for d in range(16)]) for i in range(40)]
+    vecs.append((99, list(vecs[5][1])))  # exact duplicate of vec 5
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") == 5), k=3, centroid_mod=7, n_probe=2
+    ).collect()
+    by_rank = sorted(got, key=lambda r: r["rank"])
+    assert by_rank and by_rank[0]["nid"] == 99 and by_rank[0]["sim"] == 1.0
+
+
 def test_textstats_token_counts(spark):
     docs = _docs(spark, ["Hello, world! 42 times", ""])
     rows = {r["doc_id"]: r for r in textstats.token_counts(docs).collect()}

@@ -14,7 +14,7 @@ KEEP_MARKERS = (
     "SortMergeJoin", "BroadcastExchange", "Exchange", "HashAggregate",
     "Window", "MapInPandas", "MapInArrow", "FlatMapCoGroupsInPandas", "Sort ",
     "TakeOrderedAndProject", "BroadcastNestedLoopJoin", "InMemoryTableScan",
-    "InMemoryRelation", "Generate",
+    "InMemoryRelation", "Generate", "SortAggregate", "ObjectHashAggregate",
 )
 
 CASES = [
@@ -46,6 +46,15 @@ CASES = [
     ("ann_cosine_topk",
      "query side broadcast (nested-loop over the tiny query set), cosine in "
      "JVM higher-order functions, per-query rank window"),
+    ("ann_ivf_topk",
+     "IVF coarse-quantizer ANN: the centroid dim joins every assignment as "
+     "a BroadcastNestedLoopJoin (tiny control-plane side — the corpus is "
+     "never shuffled to assign), the corpus-sided inverted file is an "
+     "argmin max_by AGGREGATE with a map-side partial combine (the "
+     "exchange carries n rows, not n x n_centroids — no Window over the "
+     "corpus cross product; struct-ordered max_by compiles to "
+     "SortAggregate), candidates come from a plain equi-join on cell, and "
+     "exact cosine scores candidates only"),
     ("topic_search_enriched",
      "J2 publisher enrichment: the user dim joins as a BroadcastHashJoin "
      "(the reference's per-hit publisher fetch becomes one broadcast); both "

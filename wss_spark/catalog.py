@@ -1309,6 +1309,68 @@ def _srp_topk_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 8,
     """
 
 
+def _ivf_topk_sql(centroid_mod: int = 63, n_probe: int = 3, k: int = 5) -> str:
+    """DuckDB replay of the full IVF ANN top-k path: the deterministic
+    centroid sample (vec_id % mod = 0), cosine assignment with the same
+    4dp rounding + centroid-id tie-break, single-cell inverted file,
+    n_probe query cells, candidates from the cell equi-join, exact cosine +
+    deterministic rank on candidates only. Approximate w.r.t. brute force,
+    fully deterministic w.r.t. its own definition — value-oracles exactly,
+    like ann_srp_topk (recall vs the exact baseline is pinned in
+    tests/test_operators.py)."""
+    return f"""
+    WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM vecs
+              WHERE vec_id % {centroid_mod} = 0),
+    assign AS (SELECT vec_id, cid,
+                      ROUND(list_dot_product(v, cv)
+                            / (sqrt(list_dot_product(v, v))
+                               * sqrt(list_dot_product(cv, cv))), 4) AS cs
+               FROM vecs CROSS JOIN cents),
+    ranked_a AS (SELECT vec_id, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY cs DESC, cid) AS r
+                 FROM assign),
+    inv AS (SELECT vec_id AS nid, cid AS cell FROM ranked_a WHERE r = 1),
+    qprobe AS (SELECT vec_id AS qid, cid AS cell FROM ranked_a
+               WHERE r <= {n_probe} AND vec_id < 3),
+    cand AS (SELECT DISTINCT q.qid, i.nid
+             FROM qprobe q JOIN inv i ON q.cell = i.cell
+             WHERE q.qid <> i.nid),
+    scored AS (SELECT c.qid, c.nid,
+                      ROUND(list_dot_product(a.v, b.v)
+                            / (sqrt(list_dot_product(a.v, a.v))
+                               * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+               FROM cand c JOIN vecs a ON a.vec_id = c.qid
+                           JOIN vecs b ON b.vec_id = c.nid),
+    ranked AS (SELECT qid, nid, sim,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY sim DESC, nid) AS rnk
+               FROM scored)
+    SELECT qid, nid, CAST(rnk AS INTEGER) AS rnk, sim FROM ranked
+    WHERE rnk <= {k}
+    """
+
+
+@_q("ann_ivf_topk", _ivf_topk_sql())
+def ann_ivf_topk(spark, sf):
+    """IVF (inverted-file / coarse-quantizer) ANN top-5 for query vectors
+    vec_id < 3 — the second ANN scale path beside SRP-LSH: broadcast
+    centroid dim, one-scan inverted file, n_probe=2 cell probing, exact
+    cosine only on candidates. Value-oracled against an independent DuckDB
+    replay of assignment + probing + candidate ranking."""
+    emb = _t(spark, sf, "embeddings")
+    return (
+        similarity.ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 3), k=5,
+            centroid_mod=63, n_probe=3,
+        )
+        .withColumnRenamed("rank", "rnk")
+        .select("qid", "nid", "rnk", "sim")
+    )
+
+
 @_q("ann_srp_topk", _srp_topk_sql())
 def ann_srp_topk(spark, sf):
     """Sign-random-projection LSH ANN with query-side multi-probe (the
@@ -2310,6 +2372,10 @@ _DEMOTED = [
     # into dd_lsh_candidates' band keys (string renders of the same sigs),
     # which stays in-window — a signature error cannot pass that gate
     "dd_minhash_signatures",
+    # demoted r04c to fit ann_ivf_topk: the exact all-pairs baseline's
+    # cosine math is exercised in-window by dd_embedding_pairs_blocked
+    # (same embedding_near_pairs operator, candidate-restricted)
+    "dd_embedding_pairs",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the
@@ -2337,6 +2403,7 @@ WINDOW_CRITICAL = [
     "dd_dup_clusters",
     "g1_repost_degree",
     "dd_near_dedup",
+    "ann_ivf_topk",
 ]
 DRIVER_WINDOW = 50
 

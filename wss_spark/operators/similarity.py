@@ -229,3 +229,102 @@ def srp_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "sim")
     )
+
+
+def ivf_assign(vecs: DataFrame, centroids: DataFrame, id_out: str,
+               n_probe: int = 1, round_dp: int = 4) -> DataFrame:
+    """(id_out, cell) rows assigning each vector to its ``n_probe`` nearest
+    centroids by cosine (rounded to ``round_dp``; ties broken by centroid id
+    so the assignment is a pure function of data, never of partition layout).
+
+    The centroid table is a tiny control-plane dim (at 100 TB: ~n/10^3-10^4
+    rows) and is explicitly broadcast — assignment is ONE scan of ``vecs``
+    inside whole-stage codegen with no shuffle on the corpus side.
+
+    ``n_probe=1`` (the inverted-file build — the CORPUS-sized call) is an
+    argmin AGGREGATION, not a rank window: ``max_by(cid, (score, -cid))``
+    gets a map-side partial combine, so the exchange carries n rows, not
+    n × n_centroids — the window variant would shuffle the full scored
+    cross product. ``n_probe>1`` (query probing — the small side) keeps the
+    rank window. Both paths share the identical (score desc, cid asc)
+    tie-break, so assignment stays a pure function of data."""
+    cents = F.broadcast(
+        centroids.select(F.col("_cid").alias("cid"), F.col("_cv").alias("cv"))
+    )
+    scored = vecs.crossJoin(cents).select(
+        F.col("_id").alias(id_out),
+        "cid",
+        F.round(cosine(F.col("_v"), F.col("cv")), round_dp).alias("_cs"),
+    )
+    if n_probe == 1:
+        return scored.groupBy(id_out).agg(
+            F.max_by(
+                "cid", F.struct(F.col("_cs"), (-F.col("cid")).alias("_nc"))
+            ).alias("cell")
+        )
+    w = Window.partitionBy(id_out).orderBy(F.col("_cs").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probe)
+        .select(id_out, F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             centroid_mod: int = 31, n_probe: int = 2,
+             centroids: DataFrame | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             round_dp: int = 4) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k — the coarse-quantizer
+    complement to the SRP/LSH scale path (:func:`srp_topk`).
+
+    Build: corpus vectors are assigned to their single nearest centroid
+    (the inverted file — a narrow (nid, cell) frame built in ONE corpus
+    scan against a broadcast centroid dim). Search: each query probes its
+    ``n_probe`` nearest cells; candidates are the (cell) equi-join of query
+    probes against the inverted file, and exact cosine + deterministic rank
+    run on candidates only. Like the SRP gate, the path is approximate
+    w.r.t. brute force but fully deterministic w.r.t. its own definition
+    (recall is pinned separately in tests).
+
+    Centroids default to the deterministic coarse sample
+    ``vec_id % centroid_mod == 0`` — the centroid count then scales with the
+    corpus (n/centroid_mod) and the rule is replayable by any engine. At
+    production scale pass ``centroids`` trained by k-means (Spark ML) —
+    everything downstream (broadcast assignment, inverted file, probe join)
+    is unchanged; training quality affects recall only, never the plan.
+
+    Scale notes: no corpus self-join anywhere; the candidate join is a plain
+    equi-join on ``cell`` (AQE handles hot-cell skew); the exact-cosine
+    scoring join touches only candidate rows. Reference analog: this is the
+    embedding-dedup/similarity tier of an LLM training pipeline (SURVEY.md
+    §2 dedup/ANN block), not a reference-repo operator."""
+    v_c = corpus.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    v_q = queries.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    if centroids is None:
+        centroids = corpus.filter((F.col(id_col) % centroid_mod) == 0)
+    cents = centroids.select(
+        F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+
+    inv = ivf_assign(v_c, cents, "nid", n_probe=1, round_dp=round_dp)
+    probes = ivf_assign(v_q, cents, "qid", n_probe=n_probe, round_dp=round_dp)
+    cand = (
+        probes.join(inv, "cell")
+        .select("qid", "nid")
+        .distinct()
+        .filter(F.col("qid") != F.col("nid"))
+    )
+
+    c = corpus.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv"))
+    scored = (
+        cand.join(q, "qid").join(c, "nid")
+        .select("qid", "nid", F.round(cosine(F.col("qv"), F.col("cv")), round_dp).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "sim")
+    )
