@@ -31,7 +31,7 @@ def canonicalize(url: str) -> str:
     if rest == "":
         rest = "/"
     if len(rest) > 1 and rest.endswith("/"):
-        rest = rest[:-1]
+        rest = rest.rstrip("/") or "/"  # all trailing slashes (fixpoint)
     return scheme_host + rest
 
 

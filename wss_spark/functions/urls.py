@@ -39,7 +39,10 @@ def canonicalize_url(url: Column | str) -> Column:
     rest = F.regexp_replace(rest, r"\?page=1$", "")
     rest = F.regexp_replace(rest, r"\?$", "")
     rest = F.when(rest == "", F.lit("/")).otherwise(rest)
-    rest = F.regexp_replace(rest, r"(.+)/$", "$1")
+    # ALL trailing slashes, not one per application: the seen key must be a
+    # fixpoint (re-canonicalizing a checkpointed canonical url is a no-op) —
+    # hypothesis found '/XY//' → '/XY/' → '/XY' under the single-strip form
+    rest = F.regexp_replace(rest, r"(.+?)/+$", "$1")
     return F.concat(scheme_host, rest)
 
 
