@@ -156,6 +156,38 @@ def test_ivf_topk_recall_and_invariance(spark):
     emb.unpersist()
 
 
+def test_ivf_train_centroids(spark):
+    """Lloyd's trainer: the trained centroid table plugs into ivf_topk and
+    holds the recall floor, keeps the centroid count and dimensionality of
+    the deterministic init (empty cells fall back to their previous
+    centroid), and is a pure function of data — identical under a different
+    partition layout."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    q = emb.filter(F.col("vec_id") < 10)
+    trained = similarity.ivf_train_centroids(emb, centroid_mod=63, n_iter=2)
+
+    n_init = emb.filter((F.col("vec_id") % 63) == 0).count()
+    rows = trained.collect()
+    assert len(rows) == n_init
+    dim = len(emb.first()["embedding"])
+    assert all(len(r["embedding"]) == dim for r in rows)
+
+    exact = {
+        (r["qid"], r["nid"])
+        for r in similarity.brute_force_topk(emb, q, k=5).select("qid", "nid").collect()
+    }
+    got = similarity.ivf_topk(emb, q, k=5, n_probe=3, centroids=trained)
+    approx = {(r["qid"], r["nid"]) for r in got.select("qid", "nid").collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"trained-IVF recall@5 too low: {recall}"
+
+    relaid = similarity.ivf_train_centroids(
+        emb.repartition(7, "vec_id"), centroid_mod=63, n_iter=2
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, relaid.collect()))
+    emb.unpersist()
+
+
 def test_ivf_recalls_identical_vector(spark):
     vecs = [(i, [float((i * 13 + d * 7) % 97 - 48) for d in range(16)]) for i in range(40)]
     vecs.append((99, list(vecs[5][1])))  # exact duplicate of vec 5

@@ -270,6 +270,83 @@ def ivf_assign(vecs: DataFrame, centroids: DataFrame, id_out: str,
     )
 
 
+def ivf_train_centroids(vecs: DataFrame, centroid_mod: int = 31,
+                        n_iter: int = 3, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        round_dp: int = 4) -> DataFrame:
+    """DataFrame-native Lloyd's k-means for the IVF coarse quantizer — the
+    in-engine replacement for the "pass centroids trained elsewhere" escape
+    hatch in :func:`ivf_topk`. Returns an ``(id_col, vec_col)`` frame that
+    plugs straight into ``ivf_topk(centroids=...)``.
+
+    Deterministic end to end: init is the same coarse sample rule
+    ``ivf_topk`` defaults to (``vec_id % centroid_mod == 0``), assignment
+    reuses :func:`ivf_assign`'s rounded-cosine + centroid-id tie-break, the
+    iteration count is fixed (no data-dependent stopping), and per-dimension
+    means are rounded to ``round_dp`` so the result is a pure function of
+    data, not of partition layout or float summation order.
+
+    Plan, per iteration (all corpus-sided work is one scan):
+
+    1. assign: broadcast centroid dim × corpus, argmin ``max_by`` AGGREGATE
+       with map-side partial combine (see :func:`ivf_assign` — the vector
+       rides through the aggregate via ``first``, which is value-exact here
+       because every row in an ``_id`` group carries the same vector, so no
+       join-back-by-id shuffle is needed);
+    2. means: ``posexplode`` to (cell, dim, val) and ``avg`` per (cell, dim)
+       — a partially-combined exchange of at most n_centroids × dim rows —
+       then one more tiny exchange re-assembles each centroid's array in
+       dimension order;
+    3. empty cells keep their previous centroid (left-join coalesce), so the
+       centroid count never silently shrinks;
+    4. the new centroid table is ``localCheckpoint``-flattened (it is
+       control-plane small: n/centroid_mod rows), keeping the lineage O(1)
+       across iterations instead of stacking ``n_iter`` cross-join subtrees
+       (same contract as ``dedup.dup_clusters``).
+
+    Training quality affects recall only — the downstream ``ivf_topk`` plan
+    (broadcast assignment, inverted file, probe equi-join) is unchanged.
+    Reference analog: LLM-pipeline ANN tier (SURVEY.md §2 dedup/ANN block).
+    """
+    v = vecs.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    cents = v.filter((F.col("_id") % centroid_mod) == 0).select(
+        F.col("_id").alias("_cid"), F.col("_v").alias("_cv")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(n_iter):
+        cents_b = F.broadcast(
+            cents.select(F.col("_cid").alias("cid"), F.col("_cv").alias("cv"))
+        )
+        scored = v.crossJoin(cents_b).select(
+            "_id", "_v", "cid",
+            F.round(cosine(F.col("_v"), F.col("cv")), round_dp).alias("_cs"),
+        )
+        assigned = scored.groupBy("_id").agg(
+            F.max_by(
+                "cid", F.struct(F.col("_cs"), (-F.col("cid")).alias("_nc"))
+            ).alias("cell"),
+            F.first("_v").alias("_v"),
+        )
+        means = (
+            assigned.select("cell", F.posexplode("_v").alias("_pos", "_val"))
+            .groupBy("cell", "_pos").agg(F.avg("_val").alias("_m"))
+            .groupBy("cell").agg(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm")
+            )
+            .select(
+                F.col("cell").alias("_cid"),
+                F.transform("_pm", lambda s: F.round(s["_m"], round_dp)).alias("_nv"),
+            )
+        )
+        cents = cents.join(means, "_cid", "left").select(
+            "_cid", F.coalesce(F.col("_nv"), F.col("_cv")).alias("_cv")
+        ).localCheckpoint(eager=True)
+
+    return cents.select(
+        F.col("_cid").alias(id_col), F.col("_cv").alias(vec_col)
+    )
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              centroid_mod: int = 31, n_probe: int = 2,
              centroids: DataFrame | None = None,
@@ -290,7 +367,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Centroids default to the deterministic coarse sample
     ``vec_id % centroid_mod == 0`` — the centroid count then scales with the
     corpus (n/centroid_mod) and the rule is replayable by any engine. At
-    production scale pass ``centroids`` trained by k-means (Spark ML) —
+    production scale pass ``centroids`` from :func:`ivf_train_centroids` —
     everything downstream (broadcast assignment, inverted file, probe join)
     is unchanged; training quality affects recall only, never the plan.
 
