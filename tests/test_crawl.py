@@ -301,6 +301,36 @@ def test_canonicalize_parity(spark):
     assert got == [canonicalize(u) for u in urls]
 
 
+def test_crawl_delay_zero_means_no_cap(spark, crawl_world):
+    """`Crawl-delay: 0` is a real-world robots value meaning "no delay" —
+    it must behave exactly like an absent/null delay (global budget), not
+    divide by zero (Spark 4 ANSI mode raises DIVIDE_BY_ZERO, which would
+    kill run_crawl at its eager budget localCheckpoint)."""
+    from wss_spark.crawl.politeness import host_budgets
+
+    robots = spark.createDataFrame(
+        [("zero.cn", "/", True, 0), ("null.cn", "/", True, None),
+         ("neg.cn", "/", True, -5), ("slow.cn", "/", True, 10)],
+        "host string, path_prefix string, allowed boolean, crawl_delay int",
+    )
+    rows = {r["host"]: r["host_budget"]
+            for r in host_budgets(robots, budget=5, wave_seconds=30.0).collect()}
+    # only the positive delay is emitted; everyone else defaults to the
+    # global budget at the join
+    assert rows == {"slow.cn": 3}
+
+    # the simulator applies the same rule: a declared 0 delay is a no-op —
+    # identical order and seen set to the canonical no-delay run
+    sim_order, sim_seen = simulate(
+        crawl_world["page_map"], crawl_world["seeds"], BUDGET,
+        robots_blocked_prefixes=BLOCKED,
+        crawl_delays={"weibo.cn": 0.0}, wave_seconds=30.0,
+    )
+    assert sim_order == crawl_world["order"]
+    assert sim_seen == {r[0] for r in
+                        crawl_world["result"].seen.select("canon_url").collect()}
+
+
 def test_crawl_delay_budgets_match_simulator(spark, tmp_path, crawl_world):
     """Robots crawl_delay shapes per-host admission: with wave_seconds=30 and
     weibo.cn declaring delay 10, the hot host caps at floor(30/10)=3 per wave

@@ -348,4 +348,18 @@ def test_jaccard_candidate_restriction_matches_full(spark):
         (r["doc_a"], r["doc_b"], r["jaccard"]) for r in restricted.collect()
     )
     assert got == want and len(got) > 0
+
+    # set semantics: a candidate pair listed twice (e.g. once per LSH
+    # table), reversed, or self-paired must not inflate n_inter, flip the
+    # (doc_a < doc_b) orientation, or emit a self-pair
+    noisy = spark.createDataFrame(
+        [(0, 3), (0, 3), (3, 0), (6, 3), (100, 101), (0, 100), (5, 5)],
+        "doc_a long, doc_b long",
+    )
+    noisy_got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.jaccard_pairs(sh, threshold=0.1, candidates=noisy).collect()
+    )
+    assert noisy_got == got
+    sh.unpersist()
     sh.unpersist()

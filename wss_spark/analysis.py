@@ -198,8 +198,7 @@ def collect_image_urls(parsed: DataFrame) -> DataFrame:
     from wss_spark.functions.text import large_image_url
 
     return (
-        parsed.filter(F.size(F.coalesce(F.col("images"), F.array())) > 0)
-        .select(F.explode("images").alias("_img"))
+        parsed.select(F.explode("images").alias("_img"))
         .select(large_image_url("_img").alias("url"))
         .distinct()
     )

@@ -952,7 +952,7 @@ def dd_exact_groups(spark, sf):
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2
     """,
 )
 def dd_jaccard_pairs(spark, sf):
@@ -972,7 +972,8 @@ def dd_jaccard_pairs(spark, sf):
     pairs AS (SELECT doc_a, doc_b FROM inter
               JOIN sizes sa ON sa.doc_id = doc_a
               JOIN sizes sb ON sb.doc_id = doc_b
-              WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2),
+              WHERE ROUND(CAST(n_inter AS DOUBLE)
+                          / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2),
     edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
     reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges)
@@ -1357,7 +1358,7 @@ def _ivf_topk_sql(centroid_mod: int = 63, n_probe: int = 3, k: int = 5) -> str:
 def ann_ivf_topk(spark, sf):
     """IVF (inverted-file / coarse-quantizer) ANN top-5 for query vectors
     vec_id < 3 — the second ANN scale path beside SRP-LSH: broadcast
-    centroid dim, one-scan inverted file, n_probe=2 cell probing, exact
+    centroid dim, one-scan inverted file, n_probe=3 cell probing, exact
     cosine only on candidates. Value-oracled against an independent DuckDB
     replay of assignment + probing + candidate ranking."""
     emb = _t(spark, sf, "embeddings")

@@ -49,10 +49,14 @@ def host_budgets(robots: DataFrame, budget: int,
     8 s, `独立版/WeiboLikeSpider.py:86`, vs 3 s,
     `独立版/WeiboComPostSpider.py:51`).
 
-    Only hosts with a declared delay are emitted — everyone else defaults to
-    the global budget at the join (tiny control-plane table, broadcast)."""
+    Only hosts with a declared POSITIVE delay are emitted — everyone else
+    (no robots row, null delay, or the real-world ``Crawl-delay: 0`` meaning
+    "no delay") defaults to the global budget at the join (tiny control-plane
+    table, broadcast). Filtering ``> 0`` up front also keeps the division
+    safe under Spark 4's ANSI mode (delay 0 would otherwise raise
+    DIVIDE_BY_ZERO and kill the crawl at startup)."""
     return (
-        robots.filter(F.col("crawl_delay").isNotNull())
+        robots.filter(F.col("crawl_delay") > 0)
         .groupBy("host")
         .agg(F.max("crawl_delay").alias("_delay"))  # most conservative rule
         .select(

@@ -142,7 +142,7 @@ def simulate(
 
     def host_cap(h: str) -> int:
         d = delays.get(h)
-        if d is None:
+        if d is None or d <= 0:  # absent / null / "Crawl-delay: 0" = no cap
             return budget
         return min(budget, max(1, int(wave_seconds // d)))
 

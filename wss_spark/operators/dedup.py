@@ -137,10 +137,22 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.8,
         # O(candidate pairs × shingles-per-doc), never over every pair of
         # docs sharing a shingle (a semi-join AFTER the full self-join
         # aggregation would still pay the all-sharing-pairs shuffle).
+        # Normalize the candidate list to set semantics first: order each
+        # pair (a < b) and drop duplicates. Counting intersections per
+        # candidate ROW would otherwise inflate n_inter for a pair listed
+        # twice (or once per LSH table), and a reversed (b, a) row would
+        # emit a doc_a > doc_b result — both break the (a < b, distinct)
+        # contract the no-candidates path guarantees. The distinct runs on
+        # the candidate pair list (already the small, blocked side).
         sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
         inter = (
-            candidates.select("doc_a", "doc_b")
+            candidates.select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .distinct()
             .join(sha, "doc_a")
             .join(shb, ["doc_b", "shingle"])
             .groupBy("doc_a", "doc_b")

@@ -231,6 +231,34 @@ def srp_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
     )
 
 
+def _scored_against_centroids(vecs: DataFrame, centroids: DataFrame,
+                              id_out: str, round_dp: int,
+                              carry_vec: bool = False) -> DataFrame:
+    """(id_out[, _v], cid, _cs): every vector scored against the BROADCAST
+    centroid dim with the module's rounded cosine — the single definition of
+    the assignment score shared by :func:`ivf_assign` (serving) and
+    :func:`ivf_train_centroids` (training), so the two can never diverge."""
+    cents = F.broadcast(
+        centroids.select(F.col("_cid").alias("cid"), F.col("_cv").alias("cv"))
+    )
+    cols = [F.col("_id").alias(id_out)]
+    if carry_vec:
+        cols.append(F.col("_v"))
+    cols += [
+        F.col("cid"),
+        F.round(cosine(F.col("_v"), F.col("cv")), round_dp).alias("_cs"),
+    ]
+    return vecs.crossJoin(cents).select(*cols)
+
+
+def _argmin_cell() -> Column:
+    """The argmin aggregate with the module's canonical (score desc, cid
+    asc) tie-break — map-side partial combine, exchange carries n rows."""
+    return F.max_by(
+        "cid", F.struct(F.col("_cs"), (-F.col("cid")).alias("_nc"))
+    ).alias("cell")
+
+
 def ivf_assign(vecs: DataFrame, centroids: DataFrame, id_out: str,
                n_probe: int = 1, round_dp: int = 4) -> DataFrame:
     """(id_out, cell) rows assigning each vector to its ``n_probe`` nearest
@@ -248,20 +276,9 @@ def ivf_assign(vecs: DataFrame, centroids: DataFrame, id_out: str,
     cross product. ``n_probe>1`` (query probing — the small side) keeps the
     rank window. Both paths share the identical (score desc, cid asc)
     tie-break, so assignment stays a pure function of data."""
-    cents = F.broadcast(
-        centroids.select(F.col("_cid").alias("cid"), F.col("_cv").alias("cv"))
-    )
-    scored = vecs.crossJoin(cents).select(
-        F.col("_id").alias(id_out),
-        "cid",
-        F.round(cosine(F.col("_v"), F.col("cv")), round_dp).alias("_cs"),
-    )
+    scored = _scored_against_centroids(vecs, centroids, id_out, round_dp)
     if n_probe == 1:
-        return scored.groupBy(id_out).agg(
-            F.max_by(
-                "cid", F.struct(F.col("_cs"), (-F.col("cid")).alias("_nc"))
-            ).alias("cell")
-        )
+        return scored.groupBy(id_out).agg(_argmin_cell())
     w = Window.partitionBy(id_out).orderBy(F.col("_cs").desc(), F.col("cid").asc())
     return (
         scored.withColumn("_r", F.row_number().over(w))
@@ -283,8 +300,10 @@ def ivf_train_centroids(vecs: DataFrame, centroid_mod: int = 31,
     ``ivf_topk`` defaults to (``vec_id % centroid_mod == 0``), assignment
     reuses :func:`ivf_assign`'s rounded-cosine + centroid-id tie-break, the
     iteration count is fixed (no data-dependent stopping), and per-dimension
-    means are rounded to ``round_dp`` so the result is a pure function of
-    data, not of partition layout or float summation order.
+    means are exact integer sums of 1e-6 fixed-point values (then rounded to
+    ``round_dp``), so the result is a pure function of data — long addition
+    commutes, eliminating float-summation-order dependence on partition
+    layout entirely rather than merely hiding it behind rounding.
 
     Plan, per iteration (all corpus-sided work is one scan):
 
@@ -314,22 +333,24 @@ def ivf_train_centroids(vecs: DataFrame, centroid_mod: int = 31,
     ).localCheckpoint(eager=True)
 
     for _ in range(n_iter):
-        cents_b = F.broadcast(
-            cents.select(F.col("_cid").alias("cid"), F.col("_cv").alias("cv"))
-        )
-        scored = v.crossJoin(cents_b).select(
-            "_id", "_v", "cid",
-            F.round(cosine(F.col("_v"), F.col("cv")), round_dp).alias("_cs"),
-        )
+        scored = _scored_against_centroids(v, cents, "_id", round_dp, carry_vec=True)
         assigned = scored.groupBy("_id").agg(
-            F.max_by(
-                "cid", F.struct(F.col("_cs"), (-F.col("cid")).alias("_nc"))
-            ).alias("cell"),
+            _argmin_cell(),
             F.first("_v").alias("_v"),
         )
+        # means as EXACT integer sums of 1e-6 fixed-point values: long
+        # addition is associative-commutative, so the mean — unlike a
+        # float F.avg, whose summation order follows partition layout —
+        # is exactly the same under any partitioning, not just "the same
+        # after rounding unless a value sits on a rounding boundary".
         means = (
             assigned.select("cell", F.posexplode("_v").alias("_pos", "_val"))
-            .groupBy("cell", "_pos").agg(F.avg("_val").alias("_m"))
+            .groupBy("cell", "_pos").agg(
+                (
+                    F.sum(F.round(F.col("_val") * 1e6).cast("long"))
+                    / (F.count("*") * F.lit(1e6))
+                ).alias("_m")
+            )
             .groupBy("cell").agg(
                 F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_pm")
             )
