@@ -107,6 +107,20 @@ def test_message_too_long_raises():
         raise AssertionError("expected ValueError")
 
 
+def test_degenerate_rng_raises_instead_of_spinning():
+    """A broken injected rng (all-zero or empty output) must raise — the
+    padding loop is bounded, never an unbounded driver busy-loop."""
+    n, _, _ = _keypair()
+    pub = format(n, "x")
+    for bad_rng in (lambda k: b"\x00" * k, lambda k: b""):
+        try:
+            auth.rsa_encrypt_hex(b"pw", pub, rng=bad_rng)
+        except ValueError as exc:
+            assert "nonzero" in str(exc)
+        else:
+            raise AssertionError("expected ValueError")
+
+
 def test_login_postdata_field_parity():
     n, _, _ = _keypair()
     server_data = {"servertime": 111, "nonce": "NNN", "rsakv": "kv",

@@ -330,6 +330,43 @@ def test_crawl_delay_zero_means_no_cap(spark, crawl_world):
     assert sim_seen == {r[0] for r in
                         crawl_world["result"].seen.select("canon_url").collect()}
 
+    # contradictory configuration fails fast: budget=None (bulk drain,
+    # politeness skipped) together with a DECLARED positive crawl_delay
+    # must raise instead of silently ignoring the delay
+    with pytest.raises(ValueError, match="crawl_delay"):
+        run_crawl(
+            spark, crawl_world["pages"], crawl_world["seeds"],
+            CrawlConfig(budget=None, max_waves=1),
+            robots=spark.createDataFrame(
+                [("weibo.cn", "/", True, 10)],
+                "host string, path_prefix string, allowed boolean, crawl_delay int",
+            ),
+        )
+
+
+def test_per_host_topk_custom_host_col_with_budgets(spark):
+    """per_host_topk(host_col=...) must compose with a host_budget table
+    (host_budgets always emits a column literally named 'host')."""
+    from wss_spark.crawl.politeness import host_budgets, per_host_topk
+
+    frontier = spark.createDataFrame(
+        [("d1", f"https://d1/{i}", float(i)) for i in range(6)]
+        + [("d2", f"https://d2/{i}", float(i)) for i in range(6)],
+        "domain string, canon_url string, priority double",
+    )
+    robots = spark.createDataFrame(
+        [("d1", "/", True, 15)],
+        "host string, path_prefix string, allowed boolean, crawl_delay int",
+    )
+    hb = host_budgets(robots, budget=4, wave_seconds=30.0)  # d1 -> 2
+    got = per_host_topk(
+        frontier, budget=4, n_salts=4, order_cols=["priority", "canon_url"],
+        host_col="domain", host_budget=hb,
+    )
+    counts = {r["domain"]: r["n"] for r in
+              got.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"d1": 2, "d2": 4}  # declared delay caps d1, d2 global
+
 
 def test_crawl_delay_budgets_match_simulator(spark, tmp_path, crawl_world):
     """Robots crawl_delay shapes per-host admission: with wave_seconds=30 and

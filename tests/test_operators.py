@@ -1,6 +1,7 @@
 """Unit tests for the operator library (dedup / similarity / textstats /
 analytics / multimodal) on tiny hand-checked inputs."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from wss_spark.operators import analytics, dedup, multimodal, similarity, textstats
@@ -188,6 +189,17 @@ def test_ivf_train_centroids(spark):
     emb.unpersist()
 
 
+def test_ivf_empty_centroids_raises(spark):
+    """An id space that misses the sample residue class must raise, not
+    silently return 0 rows for every query / an empty centroid frame."""
+    vecs = [(i, [float(d) for d in range(8)]) for i in range(1, 20)]  # no id % 31 == 0
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="centroid"):
+        similarity.ivf_topk(emb, emb.limit(1), k=3, centroid_mod=31).collect()
+    with pytest.raises(ValueError, match="centroid"):
+        similarity.ivf_train_centroids(emb, centroid_mod=31)
+
+
 def test_ivf_recalls_identical_vector(spark):
     vecs = [(i, [float((i * 13 + d * 7) % 97 - 48) for d in range(16)]) for i in range(40)]
     vecs.append((99, list(vecs[5][1])))  # exact duplicate of vec 5
@@ -302,6 +314,13 @@ def test_dedup_by_clusters_and_end_to_end(spark):
     clusters = dedup.dup_clusters(pairs)
     kept2 = dedup.dedup_by_clusters(docs, clusters).select("doc_id").collect()
     assert sorted(r["doc_id"] for r in kept2) == [0, 2]
+
+    # id_col is plumbed through the WHOLE pipeline: a frame keyed on
+    # post_id with no doc_id column dedups identically
+    renamed = docs.withColumnRenamed("doc_id", "post_id")
+    kept3 = dedup.dedup_near(renamed, n=3, k=8, threshold=0.5,
+                             id_col="post_id").collect()
+    assert sorted(r["post_id"] for r in kept3) == [0, 2]
 
 
 def test_top_influencers(spark):

@@ -93,11 +93,20 @@ def _pkcs1_v15_pad(message: bytes, k: int,
     random bytes."""
     if len(message) > k - 11:
         raise ValueError(f"message too long for {k}-byte modulus")
+    need = k - 3 - len(message)
     ps = b""
-    while len(ps) < k - 3 - len(message):
+    # bounded: a degenerate injected rng (all zeros, or empty output) must
+    # raise, not spin the driver forever. 64 draws of k bytes each is
+    # astronomically more than enough for any real generator.
+    for _ in range(64):
+        if len(ps) >= need:
+            break
         ps += bytes(b for b in rng(k) if b != 0)
-    ps = ps[: k - 3 - len(message)]
-    return b"\x00\x02" + ps + b"\x00" + message
+    else:
+        raise ValueError(
+            "rng produced too few nonzero bytes for PKCS#1 v1.5 padding"
+        )
+    return b"\x00\x02" + ps[:need] + b"\x00" + message
 
 
 def rsa_encrypt_hex(message: bytes, pubkey_hex: str, e: int = 65537,

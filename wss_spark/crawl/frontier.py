@@ -186,15 +186,24 @@ def run_crawl(
     # every wave's politeness split. localCheckpoint materializes it so the
     # per-wave broadcast rebuilds don't re-aggregate the robots table.
     hb = None
-    if (
-        robots is not None
-        and cfg.budget is not None
-        and "crawl_delay" in robots.columns
-    ):
-        hb = host_budgets(robots, cfg.budget, cfg.wave_seconds)
-        hb = hb.localCheckpoint(eager=True)
-        if hb.isEmpty():
-            hb = None
+    if robots is not None and "crawl_delay" in robots.columns:
+        if cfg.budget is None:
+            # budget=None is the bulk/backfill drain (unbounded admission,
+            # no politeness phase at all) — a robots table that DECLARES
+            # pacing under that mode is a contradictory configuration.
+            # Failing fast beats silently ignoring a declared crawl_delay.
+            if not robots.filter(F.col("crawl_delay") > 0).isEmpty():
+                raise ValueError(
+                    "budget=None (bulk drain) skips politeness entirely, but "
+                    "robots declares a positive crawl_delay — set a wave "
+                    "budget to honor it, or drop the crawl_delay column for "
+                    "a warehouse backfill"
+                )
+        else:
+            hb = host_budgets(robots, cfg.budget, cfg.wave_seconds)
+            hb = hb.localCheckpoint(eager=True)
+            if hb.isEmpty():
+                hb = None
 
     snap = checkpoint.latest_snapshot(root) if resume else None
     if snap is not None:

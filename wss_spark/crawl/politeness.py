@@ -99,8 +99,11 @@ def per_host_topk(frontier: DataFrame, budget: int, n_salts: int = 32,
     ranked = survivors.withColumn("host_rank", F.row_number().over(w2))
     if host_budget is None:
         return ranked.filter(F.col("host_rank") <= budget)
+    # host_budgets always emits the column name 'host'; align it with the
+    # caller's host_col so a non-default frontier host column still joins
+    hb = host_budget.withColumnRenamed("host", host_col)
     return (
-        ranked.join(F.broadcast(host_budget), on=host_col, how="left")
+        ranked.join(F.broadcast(hb), on=host_col, how="left")
         .filter(F.col("host_rank") <= F.coalesce("host_budget", F.lit(budget)))
         .drop("host_budget")
     )

@@ -101,13 +101,9 @@ def top_influencers(edges: DataFrame, node_col: str, k: int = 3,
     """
     keys = [node_col] + list(group_cols or [])
     deg = edges.groupBy(*keys).agg(F.count("*").alias("degree"))
-    w = Window.partitionBy(*(group_cols or [])).orderBy(
-        F.col("degree").desc(), F.col(node_col).asc()
-    )
-    return (
-        deg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-    )
+    return topk_by_group(
+        deg, list(group_cols or []), "degree", k, tiebreak=[node_col]
+    ).withColumnRenamed("rank", "rnk")
 
 
 def sessionize(df: DataFrame, user_col: str, ts_col: str, id_col: str,

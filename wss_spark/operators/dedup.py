@@ -280,10 +280,14 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_dedup(docs: DataFrame, n: int = 3, k: int = 16,
-                      rows_per_band: int = 2, threshold: float = 0.8) -> DataFrame:
+                      rows_per_band: int = 2, threshold: float = 0.8,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands → candidate
-    pairs → exact Jaccard on candidates only."""
-    sh = shingles(docs, n)
+    pairs → exact Jaccard on candidates only. ``doc_a``/``doc_b`` in the
+    output carry ``id_col`` values (the internal frames always use the
+    canonical ``doc_id`` name; only the values flow from ``id_col``)."""
+    sh = shingles(docs, n, id_col=id_col, text_col=text_col)
     cands = lsh_candidate_pairs(
         lsh_bands_wide(minhash_signatures_wide(sh, k), k, rows_per_band)
     )
@@ -341,15 +345,20 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
         new = labels.join(nbr, "node", "left").select(
             "node",
             F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
-        )
+        ).persist()
         # pointer jump: label ← label's own label (labels are always node
-        # ids present in the frame, so the inner join is total)
+        # ids present in the frame, so the inner join is total). ``new``
+        # is persisted first — it appears on BOTH sides of this self-join,
+        # and without the cache the round's neighbor-min join+aggregation
+        # (the dominant shuffle) executes twice per iteration.
         reps = new.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
-        new = (
+        jumped = (
             new.join(reps, new["label"] == reps["_ln"])
             .select("node", F.col("_ll").alias("label"))
             .localCheckpoint(eager=True)
         )
+        new.unpersist()
+        new = jumped
         old = labels.select("node", F.col("label").alias("_old"))
         n_changed = (
             new.join(old, "node").filter(F.col("label") != F.col("_old")).count()
@@ -381,10 +390,14 @@ def dedup_by_clusters(docs: DataFrame, clusters: DataFrame,
 
 def dedup_near(docs: DataFrame, n: int = 3, k: int = 16,
                rows_per_band: int = 2, threshold: float = 0.8,
-               id_col: str = "doc_id", max_iter: int = 25) -> DataFrame:
+               id_col: str = "doc_id", text_col: str = "text",
+               max_iter: int = 25) -> DataFrame:
     """End-to-end near-dedup: docs in → deduplicated docs out
-    (minhash-LSH pairs → connected components → keep min-id rep)."""
-    pairs = minhash_lsh_dedup(docs, n, k, rows_per_band, threshold)
+    (minhash-LSH pairs → connected components → keep min-id rep).
+    ``id_col``/``text_col`` are plumbed through the whole pipeline, so a
+    frame keyed on e.g. ``post_id`` dedups on that key end to end."""
+    pairs = minhash_lsh_dedup(docs, n, k, rows_per_band, threshold,
+                              id_col=id_col, text_col=text_col)
     clusters = dup_clusters(pairs, max_iter=max_iter)
     return dedup_by_clusters(docs, clusters, id_col)
 

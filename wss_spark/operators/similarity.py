@@ -331,6 +331,12 @@ def ivf_train_centroids(vecs: DataFrame, centroid_mod: int = 31,
     cents = v.filter((F.col("_id") % centroid_mod) == 0).select(
         F.col("_id").alias("_cid"), F.col("_v").alias("_cv")
     ).localCheckpoint(eager=True)
+    if cents.isEmpty():
+        raise ValueError(
+            f"ivf_train_centroids: the deterministic sample {id_col} % "
+            f"{centroid_mod} == 0 selected zero centroids — choose a "
+            "centroid_mod that hits the id space"
+        )
 
     for _ in range(n_iter):
         scored = _scored_against_centroids(v, cents, "_id", round_dp, carry_vec=True)
@@ -404,6 +410,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cents = centroids.select(
         F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
     )
+    if cents.isEmpty():
+        # an id space that misses the residue class would otherwise return
+        # an empty inverted file and 0 rows for every query with no signal
+        raise ValueError(
+            f"ivf_topk: empty centroid table ({id_col} % {centroid_mod} == 0 "
+            "matched nothing, or an empty centroids frame was passed) — "
+            "adjust centroid_mod or pass trained centroids"
+        )
 
     inv = ivf_assign(v_c, cents, "nid", n_probe=1, round_dp=round_dp)
     probes = ivf_assign(v_q, cents, "qid", n_probe=n_probe, round_dp=round_dp)
