@@ -323,6 +323,73 @@ def test_dedup_by_clusters_and_end_to_end(spark):
     assert sorted(r["post_id"] for r in kept3) == [0, 2]
 
 
+def test_annotate_matches_joined_building_blocks(spark):
+    """corpus.annotate (one zero-shuffle projection) must equal joining
+    lang_id + quality_score back onto the docs."""
+    from wss_spark.operators import corpus
+
+    docs = _docs(spark, [
+        "the cat and the dog of the house",      # en markers
+        "der hund und die katze und der vogel",  # de markers
+        "这是的了是的了一个测试",                  # zh markers
+        "qqq zzz",                               # no markers → und
+        "",                                      # empty
+    ])
+    got = {r["doc_id"]: (r["lang_pred"], r["quality"])
+           for r in corpus.annotate(docs).collect()}
+    want_lang = {r["doc_id"]: r["lang_pred"]
+                 for r in textstats.lang_id(docs).collect()}
+    want_q = {r["doc_id"]: r["quality"]
+              for r in textstats.quality_score(docs).collect()}
+    assert got == {i: (want_lang[i], want_q[i]) for i in want_lang}
+    assert got[0][0] == "en" and got[1][0] == "de" and got[2][0] == "zh"
+    assert got[3][0] == "und"
+    # annotate keeps every input column
+    assert set(corpus.annotate(docs).columns) == {"doc_id", "text",
+                                                  "lang_pred", "quality"}
+
+
+def test_clean_corpus_stages(spark):
+    """Every pipeline stage drops exactly what it should: lang filter,
+    quality filter, exact dedup, near-dedup."""
+    from wss_spark.operators import corpus
+
+    base = "the alpha and the beta of the gamma delta epsilon zeta eta"
+    docs = _docs(spark, [
+        base,                        # 0: kept (rep of {0,1,3})
+        base,                        # 1: exact dup of 0 → dropped
+        "der hund und die katze",    # 2: de → dropped by lang filter
+        base + " extra",             # 3: near-dup of 0 → dropped
+        "the one and the two of the three four five six seven",  # 4: kept
+    ])
+    kept = corpus.clean_corpus(docs, langs=("en",), min_quality=0.0,
+                               n=3, k=8, threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == [0, 4]
+    # survivors carry their annotations
+    row = {r["doc_id"]: r for r in kept.collect()}
+    assert row[0]["lang_pred"] == "en" and 0.0 <= row[0]["quality"] <= 1.0
+    # a min_quality above every score empties the corpus before dedup
+    assert corpus.clean_corpus(docs, langs=("en",), min_quality=1.01).count() == 0
+
+
+def test_dedup_near_embeddings(spark):
+    """Embedding near-dedup end to end: exact-duplicate vectors collapse to
+    the min-id representative; dissimilar vectors survive."""
+    vecs = [(i, [float((i * 13 + d * 7) % 97 - 48) for d in range(16)])
+            for i in range(8)]
+    vecs.append((50, list(vecs[2][1])))   # exact dup of vec 2 → dropped
+    vecs.append((51, list(vecs[5][1])))   # exact dup of vec 5 → dropped
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    kept = sorted(
+        r["vec_id"]
+        for r in similarity.dedup_near_embeddings(
+            emb, threshold=0.999, dim=16, n_planes=3, n_tables=8
+        ).select("vec_id").collect()
+    )
+    assert 50 not in kept and 51 not in kept
+    assert set(range(8)) <= set(kept)
+
+
 def test_top_influencers(spark):
     edges = spark.createDataFrame(
         [(100, 1, "cn"), (101, 1, "cn"), (102, 2, "cn"), (103, 3, "us")],

@@ -19,7 +19,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from wss_spark.operators import analytics, dedup, similarity, textstats
+from wss_spark.operators import analytics, corpus, dedup, similarity, textstats
 
 
 @dataclass
@@ -67,6 +67,42 @@ _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 # portable 28-bit hash (matches dedup.portable_hash28)
 def _h28(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 7)) AS BIGINT)"
+
+
+def _cnt_sql(t: str, m: str) -> str:
+    e = m.replace("'", "''")
+    return f"CAST((length({t}) - length(replace({t}, '{e}', ''))) / length('{e}') AS INT)"
+
+
+def _lang_exprs() -> tuple[str, str]:
+    """(pred, best) SQL expressions over a ``text`` column — the exact
+    DuckDB replay of textstats.lang_argmax (earlier LANG_ORDER wins ties)."""
+    t = "(' ' || lower(text) || ' ')"
+    scores = {
+        lang: " + ".join(_cnt_sql(t, m) for m in ms)
+        for lang, ms in textstats.LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(scores[lg] for lg in textstats.LANG_ORDER)}, 0)"
+    pred = "CASE "
+    for lg in textstats.LANG_ORDER:
+        pred += f"WHEN ({scores[lg]}) = {best} AND {best} > 0 THEN '{lg}' "
+    pred += "ELSE 'und' END"
+    return pred, best
+
+
+def _quality_expr() -> str:
+    """Combined quality score SQL expression over a ``text`` column — the
+    exact DuckDB replay of textstats.quality_parts' weighted sum."""
+    t = "(' ' || lower(text) || ' ')"
+    stop = " + ".join(_cnt_sql(t, m) for m in textstats.LANG_MARKERS["en"])
+    return (
+        r"ROUND(least(length(text) / 500.0, 1.0) * 0.4"
+        r" + (CASE WHEN (length(text) /"
+        r" greatest(len(list_filter(string_split_regex(text, '\s+'),"
+        r" x -> x <> '')), 1)) BETWEEN 3 AND 12"
+        r" THEN 1.0 ELSE 0.0 END) * 0.3"
+        f" + least(({stop}) / 5.0, 1.0) * 0.3, 6)"
+    )
 
 
 # ===========================================================================
@@ -1046,6 +1082,78 @@ def dd_near_dedup(spark, sf):
     ).select("doc_id")
 
 
+def _corpus_clean_sql(langs: tuple[str, ...] = ("en",),
+                      min_q: float = 0.5) -> str:
+    """DuckDB replay of the FULL corpus-cleaning pipeline: annotate (lang
+    argmax + quality), filter, exact dedup (min-id per normalized-content
+    md5), then the complete near-dedup chain (shingle → minhash → bands →
+    candidate Jaccard → recursive-CTE closure → keep min-id rep) running
+    ONLY on the filtered+exact-deduped survivors — stage containment is part
+    of the spec, so the oracle must rebuild the shingles from kept0, not
+    from documents."""
+    pred, _best = _lang_exprs()
+    langs_sql = ", ".join(f"'{lg}'" for lg in langs)
+    return f"""
+    WITH RECURSIVE
+    ann AS (SELECT doc_id, text, {pred} AS lang_pred, {_quality_expr()} AS quality
+            FROM documents),
+    filt AS (SELECT * FROM ann
+             WHERE lang_pred IN ({langs_sql}) AND quality >= {min_q}),
+    exk AS (SELECT MIN(doc_id) AS doc_id
+            FROM (SELECT doc_id, md5({_NORM}) AS h FROM filt) GROUP BY h),
+    kept0 AS (SELECT f.* FROM filt f JOIN exk USING (doc_id)),
+    docs AS (SELECT doc_id, {_NORM} AS nt FROM kept0),
+    words AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM docs),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+           FROM (SELECT doc_id, ws,
+                        unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+                 FROM words)),
+    {_minhash_params_sql(8)},
+    hx AS (SELECT doc_id, {_h28('shingle')} AS x FROM sh),
+    sig AS (SELECT doc_id, j, MIN((a * x + b) % {dedup.MINHASH_P}) AS sig
+            FROM hx CROSS JOIN params GROUP BY doc_id, j),
+    bands AS (SELECT doc_id, j // 2 AS band,
+                     string_agg(sig::VARCHAR, ',' ORDER BY j) AS bkey
+              FROM sig GROUP BY doc_id, j // 2),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE ROUND(CAST(n_inter AS DOUBLE)
+                          / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.2),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                    UNION
+                    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a)
+    SELECT doc_id, lang_pred, quality FROM kept0
+    WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_rep)
+    """
+
+
+@_q("llm_corpus_clean", _corpus_clean_sql())
+def llm_corpus_clean(spark, sf):
+    """The flagship training-data pipeline composition: documents → language
+    filter (argmax marker heuristic) → quality filter → exact dedup →
+    near-dedup → cleaned corpus with annotations. One operator call
+    (corpus.clean_corpus) composing four gated building blocks; the DuckDB
+    oracle replays every stage independently, including the recursive-CTE
+    closure over pairs derived only from the filtered survivors."""
+    return corpus.clean_corpus(
+        _t(spark, sf, "documents"), langs=("en",), min_quality=0.5,
+        n=3, k=8, rows_per_band=2, threshold=0.2,
+    ).select("doc_id", "lang_pred", "quality")
+
+
 @_q(
     "dd_minhash_signatures",
     f"""
@@ -1252,6 +1360,35 @@ def dd_embedding_pairs_blocked(spark, sf):
     return similarity.embedding_near_pairs(emb, 0.3, candidates=cands)
 
 
+def _emb_dedup_sql() -> str:
+    """DuckDB replay of the embedding near-dedup composition: the blocked
+    pairs (same SRP bucket derivation as dd_embedding_pairs_blocked) fed
+    through an independent recursive-CTE transitive closure, keep min-id."""
+    return f"""
+    WITH RECURSIVE
+    prs AS ({_srp_blocked_sql()}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM prs
+              UNION SELECT id_b, id_a FROM prs),
+    reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                    UNION
+                    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    clusters AS (SELECT a AS vec_id, MIN(b) AS rep FROM reach GROUP BY a)
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM clusters WHERE vec_id <> rep)
+    """
+
+
+@_q("dd_embedding_dedup", _emb_dedup_sql())
+def dd_embedding_dedup(spark, sf):
+    """End-to-end embedding near-dedup: embeddings in → surviving vec_ids
+    out (single-scan SRP blocking → exact cosine on candidates → hash-min
+    components → keep min-id rep) — the vector-space twin of dd_near_dedup,
+    one operator call (similarity.dedup_near_embeddings)."""
+    return similarity.dedup_near_embeddings(
+        _t(spark, sf, "embeddings"), 0.3, dim=64, n_planes=3, n_tables=8
+    ).select("vec_id")
+
+
 def _srp_topk_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 8,
                   k: int = 5) -> str:
     """DuckDB replay of the full SRP ANN top-k path: corpus buckets and
@@ -1390,22 +1527,8 @@ def ann_srp_topk(spark, sf):
     )
 
 
-def _cnt_sql(t: str, m: str) -> str:
-    e = m.replace("'", "''")
-    return f"CAST((length({t}) - length(replace({t}, '{e}', ''))) / length('{e}') AS INT)"
-
-
 def _lang_sql() -> str:
-    t = "(' ' || lower(text) || ' ')"
-    scores = {
-        lang: " + ".join(_cnt_sql(t, m) for m in ms)
-        for lang, ms in textstats.LANG_MARKERS.items()
-    }
-    best = f"greatest({', '.join(scores[lg] for lg in textstats.LANG_ORDER)}, 0)"
-    pred = "CASE "
-    for lg in textstats.LANG_ORDER:
-        pred += f"WHEN ({scores[lg]}) = {best} AND {best} > 0 THEN '{lg}' "
-    pred += "ELSE 'und' END"
+    pred, best = _lang_exprs()
     return f"""
     SELECT doc_id, {pred} AS lang_pred, CAST({best} AS INTEGER) AS lang_score
     FROM documents
@@ -2377,6 +2500,12 @@ _DEMOTED = [
     # cosine math is exercised in-window by dd_embedding_pairs_blocked
     # (same embedding_near_pairs operator, candidate-restricted)
     "dd_embedding_pairs",
+    # demoted r04d to fit llm_corpus_clean + dd_embedding_dedup:
+    "dd_jaccard_pairs",   # the candidate-restricted Jaccard chain runs
+                          # verbatim inside in-window dd_near_dedup and
+                          # llm_corpus_clean (both value-oracle it)
+    "dd_simhash",         # dd_simhash_pairs consumes the signature values
+                          # verbatim in its banded Hamming join, in-window
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the
@@ -2405,6 +2534,8 @@ WINDOW_CRITICAL = [
     "g1_repost_degree",
     "dd_near_dedup",
     "ann_ivf_topk",
+    "llm_corpus_clean",
+    "dd_embedding_dedup",
 ]
 DRIVER_WINDOW = 50
 

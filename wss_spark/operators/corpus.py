@@ -1,0 +1,77 @@
+"""End-to-end training-corpus cleaning: the composition a 100 TB LLM data
+pipeline actually runs over raw documents — language filter, quality filter,
+exact dedup, near-dedup — as ONE operator built from the gated building
+blocks (textstats + dedup).
+
+The reference's pipeline analog is per-spider: fetch → parse → keep-first
+``drop_duplicates`` on write (`独立版/(using)WeiboUserScrapy.py:447-456`);
+this module is that terminal stage generalized to a corpus: annotate every
+document, keep the wanted slice, then collapse exact and near duplicates to
+their first-occurrence (min-id) representative.
+
+Scale shape: annotation is a zero-shuffle projection (all JVM string math —
+no Python anywhere in this module); the filters push into the scan; exact
+dedup is one hash-partitioned window; near-dedup is the banded-LSH chain
+(dedup.dedup_near) running only on the filtered survivors — every stage's
+input is a subset of the previous one, so the expensive pair generation sees
+the smallest possible corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wss_spark.operators import dedup, textstats
+
+
+def annotate(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """All input columns + (lang_pred, quality) as a zero-shuffle projection.
+
+    Unlike joining :func:`textstats.lang_id` + :func:`textstats.quality_score`
+    back onto the docs (two shuffles), this stages the language scores once
+    (the two-projection argmax form — see lang_id's docstring for why) and
+    computes both annotations in the same pass over the scan."""
+    q_len, q_word, q_stop = textstats.quality_parts(F.col(text_col))
+    scores = textstats.lang_scores(F.col(text_col))
+    staged = docs.select(
+        "*",
+        *[scores[lang].alias(f"_s_{lang}") for lang in textstats.LANG_ORDER],
+        F.round(q_len * 0.4 + q_word * 0.3 + q_stop * 0.3, 6).alias("quality"),
+    )
+    pred, _best = textstats.lang_argmax()
+    return staged.select(*docs.columns, pred.alias("lang_pred"), F.col("quality"))
+
+
+def clean_corpus(docs: DataFrame, langs: Sequence[str] = ("en",),
+                 min_quality: float = 0.5, n: int = 3, k: int = 16,
+                 rows_per_band: int = 2, threshold: float = 0.8,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 max_iter: int = 25) -> DataFrame:
+    """Documents in → cleaned training corpus out, annotated.
+
+    Stages (each input ⊆ the previous output):
+
+    1. annotate: lang_pred + quality, zero-shuffle (:func:`annotate`)
+    2. filter: ``lang_pred ∈ langs AND quality ≥ min_quality``
+    3. exact dedup: keep min-id per normalized-content hash
+       (:func:`dedup.dedup_exact` — one hash-partitioned window)
+    4. near-dedup: minhash-LSH pairs → connected components → keep the
+       min-id representative (:func:`dedup.dedup_near`)
+
+    Exact dedup before near-dedup is an optimization, not a semantics
+    change: exact duplicates share every minhash band, so the components
+    would merge them anyway — collapsing them first just shrinks the pair
+    generation's input. Output carries the input columns + lang_pred +
+    quality for the survivors.
+    """
+    kept = annotate(docs, id_col, text_col).filter(
+        F.col("lang_pred").isin(*langs) & (F.col("quality") >= min_quality)
+    )
+    kept = dedup.dedup_exact(kept, id_col, text_col)
+    return dedup.dedup_near(kept, n, k, rows_per_band, threshold,
+                            id_col=id_col, text_col=text_col,
+                            max_iter=max_iter)

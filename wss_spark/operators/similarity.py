@@ -440,3 +440,34 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "sim")
     )
+
+
+def dedup_near_embeddings(emb: DataFrame, threshold: float = 0.9,
+                          dim: int | None = None, n_planes: int = 3,
+                          n_tables: int = 8, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          max_iter: int = 25) -> DataFrame:
+    """End-to-end embedding near-dedup: embeddings in → surviving rows out —
+    the vector-space twin of :func:`dedup.dedup_near` (SRP-blocked cosine
+    pairs → connected components → keep the min-id representative; the
+    keep-first semantics mirror `独立版/(using)WeiboUserScrapy.py:447-456`).
+
+    Scale shape: candidates come from the single-scan SRP blocking
+    (:func:`srp_candidates` — equi-join on (table, bucket), never
+    all-pairs), exact cosine runs only on candidate pairs, and cluster
+    resolution is the same O(log diameter) hash-min label propagation the
+    text pipeline uses. ``dim`` defaults to the embedding width probed from
+    the first row (pass it explicitly in production plans)."""
+    from wss_spark.operators.dedup import dedup_by_clusters, dup_clusters
+
+    if dim is None:
+        first = emb.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            return emb
+        dim = first["d"]
+    cands = srp_candidates(emb, dim=dim, n_planes=n_planes,
+                           n_tables=n_tables, id_col=id_col, vec_col=vec_col)
+    pairs = embedding_near_pairs(emb, threshold, candidates=cands,
+                                 id_col=id_col, vec_col=vec_col)
+    clusters = dup_clusters(pairs, id_a="id_a", id_b="id_b", max_iter=max_iter)
+    return dedup_by_clusters(emb, clusters, id_col=id_col)

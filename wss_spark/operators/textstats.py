@@ -43,6 +43,21 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
+def lang_argmax() -> tuple[Column, Column]:
+    """(pred, best) argmax expressions over the staged ``_s_<lang>`` score
+    columns — earlier LANG_ORDER languages win ties (strict > against the
+    running best); 'und' when no marker hits. Callers must first project
+    the :func:`lang_scores` columns as ``_s_<lang>`` (see :func:`lang_id`
+    for why the two-projection form matters)."""
+    best = F.lit(0)
+    pred = F.lit("und")
+    for lang in LANG_ORDER:
+        s = F.col(f"_s_{lang}")
+        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+        best = F.when(s > best, s).otherwise(best)
+    return pred, best
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, lang_pred, lang_score): argmax marker-count heuristic with a
     fixed precedence tie-break; 'und' when no marker hits.
@@ -57,13 +72,7 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.col(id_col).alias("doc_id"),
         *[scores[lang].alias(f"_s_{lang}") for lang in LANG_ORDER],
     )
-    best = F.lit(0)
-    pred = F.lit("und")
-    # precedence: earlier languages win ties → strict > against running best
-    for lang in LANG_ORDER:
-        s = F.col(f"_s_{lang}")
-        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
-        best = F.when(s > best, s).otherwise(best)
+    pred, best = lang_argmax()
     return sdf.select(
         "doc_id",
         pred.alias("lang_pred"),
@@ -85,11 +94,10 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, q_len, q_word, q_stop, quality): deterministic [0,1] quality
-    components — length saturation, mean word length sanity, stopword
-    presence — rounded to 6 dp for cross-engine comparability."""
-    t = F.col(text_col)
+def quality_parts(t: Column) -> tuple[Column, Column, Column]:
+    """(q_len, q_word, q_stop) component expressions over a text column —
+    length saturation, mean word length sanity, stopword presence. The
+    combined score is ``round(q_len*0.4 + q_word*0.3 + q_stop*0.3, 6)``."""
     n_chars = F.length(t)
     n_ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
     mean_wl = n_chars / F.greatest(n_ws, F.lit(1))
@@ -100,6 +108,14 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     q_len = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     q_word = F.when((mean_wl >= 3) & (mean_wl <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
     q_stop = F.least(stop_hits / F.lit(5.0), F.lit(1.0))
+    return q_len, q_word, q_stop
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, q_len, q_word, q_stop, quality): deterministic [0,1] quality
+    components — length saturation, mean word length sanity, stopword
+    presence — rounded to 6 dp for cross-engine comparability."""
+    q_len, q_word, q_stop = quality_parts(F.col(text_col))
     quality = F.round(q_len * 0.4 + q_word * 0.3 + q_stop * 0.3, 6)
     return docs.select(
         F.col(id_col).alias("doc_id"),
