@@ -71,7 +71,11 @@ def clean_corpus(docs: DataFrame, langs: Sequence[str] = ("en",),
     kept = annotate(docs, id_col, text_col).filter(
         F.col("lang_pred").isin(*langs) & (F.col("quality") >= min_quality)
     )
-    kept = dedup.dedup_exact(kept, id_col, text_col)
+    # the exact-deduped survivors feed BOTH the shingle chain and the final
+    # keep-set anti-join — persist once so the annotate+filter+window
+    # subtree doesn't execute per consumer (lifetime contract:
+    # dedup._persist_for_self_join — pass nothing, Spark LRU reclaims)
+    kept = dedup._persist_for_self_join(dedup.dedup_exact(kept, id_col, text_col))
     return dedup.dedup_near(kept, n, k, rows_per_band, threshold,
                             id_col=id_col, text_col=text_col,
                             max_iter=max_iter)

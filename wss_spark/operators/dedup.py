@@ -344,26 +344,26 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
         )
         new = labels.join(nbr, "node", "left").select(
             "node",
+            F.col("label").alias("_old"),
             F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
         ).persist()
         # pointer jump: label ← label's own label (labels are always node
         # ids present in the frame, so the inner join is total). ``new``
         # is persisted first — it appears on BOTH sides of this self-join,
         # and without the cache the round's neighbor-min join+aggregation
-        # (the dominant shuffle) executes twice per iteration.
+        # (the dominant shuffle) executes twice per iteration. The previous
+        # label rides along as ``_old`` so the fixpoint check below is a
+        # filter over the checkpointed blocks, not another join shuffle
+        # against the previous round's frame.
         reps = new.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
         jumped = (
             new.join(reps, new["label"] == reps["_ln"])
-            .select("node", F.col("_ll").alias("label"))
+            .select("node", "_old", F.col("_ll").alias("label"))
             .localCheckpoint(eager=True)
         )
         new.unpersist()
-        new = jumped
-        old = labels.select("node", F.col("label").alias("_old"))
-        n_changed = (
-            new.join(old, "node").filter(F.col("label") != F.col("_old")).count()
-        )
-        labels = new
+        n_changed = jumped.filter(F.col("label") != F.col("_old")).count()
+        labels = jumped.select("node", "label")
         if n_changed == 0:
             break
     edges.unpersist()
