@@ -35,7 +35,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; engine-native
-    queries (crawl scheduler, SRP ANN, banded simhash join, multimodal
-    mapInPandas) are intentionally absent → rows-only checks."""
+    """DuckDB-equivalent SQL for EVERY query — since r03 the engine-native
+    paths (crawl scheduler, SRP/IVF ANN, banded simhash, multimodal) are
+    value-oracled too, via exact DuckDB replays of their deterministic
+    definitions (record-level VALUES for the crawl/extraction families)."""
     return catalog.oracle_sql()
