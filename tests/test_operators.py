@@ -372,6 +372,33 @@ def test_clean_corpus_stages(spark):
     assert corpus.clean_corpus(docs, langs=("en",), min_quality=1.01).count() == 0
 
 
+def test_split_by_hash(spark):
+    """Deterministic, partitioning-independent, incrementally stable split
+    with roughly proportional buckets."""
+    from wss_spark.operators import corpus
+
+    docs = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r["split"]
+           for r in corpus.split_by_hash(docs).collect()}
+    counts = {}
+    for s in got.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert 700 <= counts["train"] <= 900  # 0.8 ± hash noise on n=1000
+    # partition layout and corpus membership don't move assignments: a
+    # 17-partition subset re-derives the identical labels
+    sub = docs.filter(F.col("doc_id") % 3 == 0).repartition(17)
+    again = {r["doc_id"]: r["split"]
+             for r in corpus.split_by_hash(sub).collect()}
+    assert again == {i: got[i] for i in again}
+    # custom ladder + salt: weights normalize, labels come from the ladder
+    two = {r["doc_id"]: r["grp"] for r in corpus.split_by_hash(
+        docs, weights=(("a", 1.0), ("b", 1.0)), salt="s2", out_col="grp"
+    ).collect()}
+    n_a = sum(1 for v in two.values() if v == "a")
+    assert set(two.values()) == {"a", "b"} and 400 <= n_a <= 600
+
+
 def test_dedup_near_embeddings(spark):
     """Embedding near-dedup end to end: exact-duplicate vectors collapse to
     the min-id representative; dissimilar vectors survive."""

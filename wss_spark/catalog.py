@@ -1140,6 +1140,36 @@ def _corpus_clean_sql(langs: tuple[str, ...] = ("en",),
     """
 
 
+def _split_sql() -> str:
+    """DuckDB replay of corpus.split_by_hash's default ladder. The bounds
+    are emitted with repr() from the SAME Python accumulation the operator
+    runs, so float-accumulation artifacts (0.8 + 0.1 =
+    0.9000000000000001) are bit-identical on both engines."""
+    h = ("CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7))"
+         " AS BIGINT)")
+    u = f"({h} / 268435456.0)"
+    weights = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+    total = float(sum(w for _, w in weights))
+    case = "CASE"
+    acc = 0.0
+    for name, w in weights[:-1]:
+        acc += w / total
+        case += f" WHEN {u} < {acc!r} THEN '{name}'"
+    case += f" ELSE '{weights[-1][0]}' END"
+    return f"SELECT doc_id, {case} AS split FROM documents"
+
+
+@_q("llm_corpus_split", _split_sql())
+def llm_corpus_split(spark, sf):
+    """Deterministic content-addressed train/val/test split: portable-hash
+    ladder, zero-shuffle, engine- and partitioning-independent (the split a
+    100 TB corpus can re-derive incrementally — new docs never reshuffle
+    old assignments)."""
+    return corpus.split_by_hash(
+        _t(spark, sf, "documents")
+    ).select("doc_id", "split")
+
+
 @_q("llm_corpus_clean", _corpus_clean_sql())
 def llm_corpus_clean(spark, sf):
     """The flagship training-data pipeline composition: documents → language
@@ -2506,6 +2536,10 @@ _DEMOTED = [
                           # llm_corpus_clean (both value-oracle it)
     "dd_simhash",         # dd_simhash_pairs consumes the signature values
                           # verbatim in its banded Hamming join, in-window
+    # demoted r04e to fit llm_corpus_split: a1 (sum/avg/count) and a3
+    # (avg-by-group) keep the aggregate shapes in-window; a4's min/max twin
+    # stays value-green in the demoted re-run
+    "a4_len_stats_by_source",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the
@@ -2536,6 +2570,7 @@ WINDOW_CRITICAL = [
     "ann_ivf_topk",
     "llm_corpus_clean",
     "dd_embedding_dedup",
+    "llm_corpus_split",
 ]
 DRIVER_WINDOW = 50
 

@@ -79,3 +79,34 @@ def clean_corpus(docs: DataFrame, langs: Sequence[str] = ("en",),
     return dedup.dedup_near(kept, n, k, rows_per_band, threshold,
                             id_col=id_col, text_col=text_col,
                             max_iter=max_iter)
+
+
+def split_by_hash(docs: DataFrame,
+                  weights: Sequence[tuple[str, float]] = (
+                      ("train", 0.8), ("val", 0.1), ("test", 0.1)),
+                  id_col: str = "doc_id", salt: str = "split",
+                  out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: one ``out_col`` label per
+    row from the portable 28-bit hash of ``salt:id`` against the cumulative
+    weight ladder. Zero-shuffle projection; the same (id, salt) maps to the
+    same split on any engine, any partitioning, any run — so a corpus can
+    be re-split incrementally (new documents join their split without
+    reshuffling old ones, the property random() splits lack).
+
+    Weights are normalized; the last bucket absorbs the hash-granularity
+    remainder. Reference analog: the per-spider CSV shards are manual
+    splits of one corpus — this is that decision made content-addressed.
+    """
+    total = float(sum(w for _, w in weights))
+    u = dedup.portable_hash28(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    ) / F.lit(float(1 << 28))
+    expr = F.lit(weights[-1][0])  # remainder → last bucket
+    acc = 0.0
+    branches = []
+    for name, w in weights[:-1]:
+        acc += w / total
+        branches.append((name, acc))
+    for name, bound in reversed(branches):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return docs.select("*", expr.alias(out_col))
