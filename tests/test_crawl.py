@@ -368,6 +368,82 @@ def test_per_host_topk_custom_host_col_with_budgets(spark):
     assert counts == {"d1": 2, "d2": 4}  # declared delay caps d1, d2 global
 
 
+def test_parse_robots_matches_reference_interpreter(spark):
+    """The distributed window-based robots.txt parser must agree row-exactly
+    with the independent imperative RFC 9309 interpreter, for the exact
+    agent, the wildcard, and an unknown agent (→ '*' groups only)."""
+    from wss_spark.crawl.robots import parse_robots
+    from wss_spark.synth import expected_robots_rules, render_robots_texts
+
+    raw = spark.createDataFrame(
+        render_robots_texts(30), "host string, robots_txt string"
+    ).repartition(7)  # partition layout must not matter
+    for agent in ("wss", "*", "nosuchbot"):
+        got = sorted(
+            ((r["host"], r["path_prefix"], r["allowed"], r["crawl_delay"])
+             for r in parse_robots(raw, agent=agent).collect()),
+            key=str,
+        )
+        assert got == sorted(expected_robots_rules(30, agent=agent), key=str)
+
+
+def test_parse_robots_handcrafted_edges(spark):
+    """Pinned semantics on a hand-written robots.txt: stacked groups, empty
+    Disallow, comments, junk mid-run, crawl-delay attach, group isolation."""
+    from wss_spark.crawl.robots import parse_robots
+
+    txt = "\n".join([
+        "# header comment",
+        "User-agent: otherbot",
+        "User-agent: wss  # stacked, exact match",
+        "Disallow: /private",
+        "Crawl-delay: 7",
+        "Disallow:",                 # empty → allow-all → NO rule row
+        "User-agent: nope",
+        "Disallow: /hidden",         # non-matching group → dropped
+        "junk without separator",    # no-op, must not split anything
+        "User-agent: *",
+        "Allow: /public",            # second matching group, no delay
+    ])
+    raw = spark.createDataFrame([("h1", txt)], "host string, robots_txt string")
+    got = sorted(
+        (r["path_prefix"], r["allowed"], r["crawl_delay"])
+        for r in parse_robots(raw, agent="wss").collect()
+    )
+    assert got == [("/private", False, 7), ("/public", True, None)]
+
+
+def test_parse_robots_composes_with_politeness(spark):
+    """parse_robots output drives robots_gate and host_budgets directly:
+    disallowed paths are gated out and the parsed crawl_delay caps per-host
+    admission."""
+    from wss_spark.crawl.politeness import host_budgets, per_host_topk, robots_gate
+    from wss_spark.crawl.robots import parse_robots
+
+    txt_a = "User-agent: *\nDisallow: /img/\nCrawl-delay: 15"
+    txt_b = "User-agent: *\nAllow: /"
+    raw = spark.createDataFrame(
+        [("a.cn", txt_a), ("b.cn", txt_b)], "host string, robots_txt string"
+    )
+    rules = parse_robots(raw, agent="wss")
+    frontier = spark.createDataFrame(
+        [("a.cn", f"https://a.cn/img/{i}", float(i)) for i in range(3)]
+        + [("a.cn", f"https://a.cn/page/{i}", float(i)) for i in range(6)]
+        + [("b.cn", f"https://b.cn/page/{i}", float(i)) for i in range(6)],
+        "host string, canon_url string, priority double",
+    )
+    gated = robots_gate(frontier, rules)
+    assert gated.filter(F.col("canon_url").contains("/img/")).count() == 0
+    assert gated.count() == 12
+    hb = host_budgets(rules, budget=4, wave_seconds=30.0)  # a.cn → 2
+    admitted = per_host_topk(gated, budget=4, n_salts=4,
+                             order_cols=["priority", "canon_url"],
+                             host_budget=hb)
+    counts = {r["host"]: r["n"] for r in
+              admitted.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a.cn": 2, "b.cn": 4}
+
+
 def test_crawl_delay_budgets_match_simulator(spark, tmp_path, crawl_world):
     """Robots crawl_delay shapes per-host admission: with wave_seconds=30 and
     weibo.cn declaring delay 10, the hot host caps at floor(30/10)=3 per wave

@@ -19,6 +19,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from wss_spark import synth
 from wss_spark.operators import analytics, corpus, dedup, similarity, textstats
 
 
@@ -1138,6 +1139,35 @@ def _corpus_clean_sql(langs: tuple[str, ...] = ("en",),
     SELECT doc_id, lang_pred, quality FROM kept0
     WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_rep)
     """
+
+
+_N_ROBOTS_HOSTS = 40
+
+
+@_q(
+    "robots_parse",
+    _values_table(
+        synth.expected_robots_rules(_N_ROBOTS_HOSTS, agent="wss"),
+        [("host", "VARCHAR"), ("path_prefix", "VARCHAR"),
+         ("allowed", "BOOLEAN"), ("crawl_delay", "INTEGER")],
+    ),
+)
+def robots_parse(spark, sf):
+    """robots.txt parsing as a DataFrame transformation: deterministic raw
+    (host, robots_txt) fixtures → the ROBOTS rules table the politeness
+    operators consume. The Spark side is the distributed window-based
+    line-group parser (crawl/robots.py); the oracle is an INDEPENDENT
+    imperative RFC 9309 interpreter (synth.expected_robots_rules) rendered
+    as VALUES — two different algorithms must agree row-exactly (stacked
+    user-agent groups, comments, empty Disallow, non-numeric Crawl-delay,
+    non-matching groups all covered by the fixture)."""
+    from wss_spark.crawl.robots import parse_robots
+
+    raw = spark.createDataFrame(
+        synth.render_robots_texts(_N_ROBOTS_HOSTS),
+        "host string, robots_txt string",
+    )
+    return parse_robots(raw, agent="wss")
 
 
 def _split_sql() -> str:
@@ -2540,6 +2570,10 @@ _DEMOTED = [
     # (avg-by-group) keep the aggregate shapes in-window; a4's min/max twin
     # stays value-green in the demoted re-run
     "a4_len_stats_by_source",
+    # demoted r04f to fit robots_parse: the hour histogram's
+    # timestamp-extraction + count shape stays in-window via w5_sessionize
+    # (same events timestamp math) and a7 (same events groupBy-agg)
+    "a5_events_hourly",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the
@@ -2571,6 +2605,7 @@ WINDOW_CRITICAL = [
     "llm_corpus_clean",
     "dd_embedding_dedup",
     "llm_corpus_split",
+    "robots_parse",
 ]
 DRIVER_WINDOW = 50
 

@@ -1182,3 +1182,100 @@ def seed_list(n_targets: int, seed: int = 42, n_seeds: int | None = None) -> lis
 
 def write_pages(spark, out_dir: str, n_targets: int, seed: int = 42) -> None:
     build_pages_df(spark, n_targets, seed).write.mode("overwrite").parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt fixtures: deterministic raw texts + an INDEPENDENT imperative
+# reference interpreter (the oracle for the distributed window-based parser
+# in crawl/robots.py — two different algorithms must agree exactly, the
+# same pattern as the single-threaded crawl simulator)
+# ---------------------------------------------------------------------------
+
+
+def render_robots_texts(n_hosts: int, seed: int = 42) -> list[tuple[str, str]]:
+    """Deterministic (host, robots_txt) fixtures covering the parser's edge
+    cases: stacked user-agent lines, exact-agent and '*' and non-matching
+    groups, comments, blank/junk lines, empty Disallow (allow-all),
+    non-numeric and valid Crawl-delay, multiple groups per host."""
+    out = []
+    for h in range(n_hosts):
+        r = _rng(seed, 777, h)
+        host = f"site{h}.example.cn"
+        lines: list[str] = ["# robots for " + host]
+        n_groups = r.randint(1, 3)
+        for g in range(n_groups):
+            agents = r.choice([
+                ["*"], ["wss"], ["otherbot"],
+                ["otherbot", "*"],          # stacked, one matches
+                ["wss", "otherbot"],        # stacked, exact match first
+            ])
+            if r.random() < 0.3:
+                lines.append("")  # blank separator
+            for a in agents:
+                lines.append(f"User-agent: {a}")
+            n_rules = r.randint(1, 4)
+            for _ in range(n_rules):
+                kind = r.random()
+                path = "/" + r.choice(["", "u/", "comment/", "api/", "img/",
+                                       "status/"]) + (
+                    f"p{r.randint(0, 9)}" if r.random() < 0.5 else "")
+                if kind < 0.45:
+                    lines.append(f"Disallow: {path}  # blocked")
+                elif kind < 0.75:
+                    lines.append(f"Allow: {path}")
+                elif kind < 0.85:
+                    lines.append("Disallow:")  # empty → allow-all, no rule
+                else:
+                    lines.append("Crawl-delay: " +
+                                 r.choice(["3", "8", "10", "soon", "2"]))
+            if r.random() < 0.2:
+                lines.append("junk line without separator")
+        out.append((host, "\n".join(lines)))
+    return out
+
+
+def expected_robots_rules(n_hosts: int, seed: int = 42,
+                          agent: str = "wss") -> list[tuple]:
+    """Independent imperative robots interpreter (RFC 9309 subset): the
+    oracle for crawl/robots.py's window-based distributed parser. Returns
+    sorted distinct (host, path_prefix, allowed, crawl_delay) rows."""
+    rows: set[tuple] = set()
+    for host, txt in render_robots_texts(n_hosts, seed):
+        groups: list[tuple[set, list]] = []  # (agents, directives)
+        cur_agents: set | None = None
+        in_ua_run = False
+        for raw_line in txt.split("\n"):
+            line = raw_line.split("#", 1)[0].strip()
+            if ":" not in line:
+                continue  # blank/junk: does NOT end a user-agent run
+            key, value = line.split(":", 1)
+            key = key.strip().lower()
+            value = value.strip()
+            if not key:
+                continue
+            if key == "user-agent":
+                if not in_ua_run:
+                    cur_agents = set()
+                    groups.append((cur_agents, []))
+                    in_ua_run = True
+                cur_agents.add(value.lower())
+            else:
+                in_ua_run = False
+                if groups:
+                    groups[-1][1].append((key, value))
+        for agents, directives in groups:
+            if agent.lower() not in agents and "*" not in agents:
+                continue
+            delay = None
+            for key, value in directives:
+                if key == "crawl-delay":
+                    try:
+                        delay = max(delay or 0, int(value))
+                    except ValueError:
+                        pass
+            for key, value in directives:
+                if key == "allow":
+                    rows.add((host, value, True, delay))
+                elif key == "disallow" and value != "":
+                    rows.add((host, value, False, delay))
+    return sorted(rows, key=lambda t: (t[0], t[1], t[2], t[3] is None, t[3]))
