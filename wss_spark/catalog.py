@@ -957,7 +957,7 @@ QUERIES["flagship_top_commenters"].sql = _values_table(
 _SH_SQL = f"""
     docs AS (SELECT doc_id, {_NORM} AS nt FROM documents),
     words AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM docs),
-    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+    sh AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
            FROM (SELECT doc_id, ws,
                         unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
                  FROM words))
@@ -1006,7 +1006,7 @@ def dd_jaccard_pairs(spark, sf):
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
-    pairs AS (SELECT doc_a, doc_b FROM inter
+    pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM inter
               JOIN sizes sa ON sa.doc_id = doc_a
               JOIN sizes sb ON sb.doc_id = doc_b
               WHERE ROUND(CAST(n_inter AS DOUBLE)
@@ -1044,7 +1044,7 @@ def _minhash_params_sql(k: int) -> str:
     hx AS (SELECT doc_id, {_h28('shingle')} AS x FROM sh),
     sig AS (SELECT doc_id, j, MIN((a * x + b) % {dedup.MINHASH_P}) AS sig
             FROM hx CROSS JOIN params GROUP BY doc_id, j),
-    bands AS (SELECT doc_id, j // 2 AS band,
+    bands AS MATERIALIZED (SELECT doc_id, j // 2 AS band,
                      string_agg(sig::VARCHAR, ',' ORDER BY j) AS bkey
               FROM sig GROUP BY doc_id, j // 2),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1056,7 +1056,7 @@ def _minhash_params_sql(k: int) -> str:
               JOIN sh a ON a.doc_id = c.doc_a
               JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
               GROUP BY 1, 2),
-    pairs AS (SELECT doc_a, doc_b FROM inter
+    pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM inter
               JOIN sizes sa ON sa.doc_id = doc_a
               JOIN sizes sb ON sb.doc_id = doc_b
               WHERE ROUND(CAST(n_inter AS DOUBLE)
@@ -1102,10 +1102,10 @@ def _corpus_clean_sql(langs: tuple[str, ...] = ("en",),
              WHERE lang_pred IN ({langs_sql}) AND quality >= {min_q}),
     exk AS (SELECT MIN(doc_id) AS doc_id
             FROM (SELECT doc_id, md5({_NORM}) AS h FROM filt) GROUP BY h),
-    kept0 AS (SELECT f.* FROM filt f JOIN exk USING (doc_id)),
+    kept0 AS MATERIALIZED (SELECT f.* FROM filt f JOIN exk USING (doc_id)),
     docs AS (SELECT doc_id, {_NORM} AS nt FROM kept0),
     words AS (SELECT doc_id, string_split(nt, ' ') AS ws FROM docs),
-    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+    sh AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
            FROM (SELECT doc_id, ws,
                         unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
                  FROM words)),
@@ -1113,7 +1113,7 @@ def _corpus_clean_sql(langs: tuple[str, ...] = ("en",),
     hx AS (SELECT doc_id, {_h28('shingle')} AS x FROM sh),
     sig AS (SELECT doc_id, j, MIN((a * x + b) % {dedup.MINHASH_P}) AS sig
             FROM hx CROSS JOIN params GROUP BY doc_id, j),
-    bands AS (SELECT doc_id, j // 2 AS band,
+    bands AS MATERIALIZED (SELECT doc_id, j // 2 AS band,
                      string_agg(sig::VARCHAR, ',' ORDER BY j) AS bkey
               FROM sig GROUP BY doc_id, j // 2),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1125,7 +1125,7 @@ def _corpus_clean_sql(langs: tuple[str, ...] = ("en",),
               JOIN sh a ON a.doc_id = c.doc_a
               JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
               GROUP BY 1, 2),
-    pairs AS (SELECT doc_a, doc_b FROM inter
+    pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM inter
               JOIN sizes sa ON sa.doc_id = doc_a
               JOIN sizes sb ON sb.doc_id = doc_b
               WHERE ROUND(CAST(n_inter AS DOUBLE)
@@ -1237,7 +1237,7 @@ def dd_minhash_signatures(spark, sf):
     hx AS (SELECT doc_id, {_h28('shingle')} AS x FROM sh),
     sig AS (SELECT doc_id, j, MIN((a * x + b) % {dedup.MINHASH_P}) AS sig
             FROM hx CROSS JOIN params GROUP BY doc_id, j),
-    bands AS (SELECT doc_id, j // 2 AS band,
+    bands AS MATERIALIZED (SELECT doc_id, j // 2 AS band,
                      string_agg(sig::VARCHAR, ',' ORDER BY j) AS bkey
               FROM sig GROUP BY doc_id, j // 2)
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1389,11 +1389,11 @@ def _srp_blocked_sql(dim: int = 64, n_planes: int = 3, n_tables: int = 8) -> str
         )
     buckets = "\nUNION ALL\n".join(bucket_selects)
     return f"""
-    WITH buckets AS ({buckets}),
+    WITH buckets AS MATERIALIZED ({buckets}),
     cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
              FROM buckets a JOIN buckets b
                ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-    dims AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+    dims AS MATERIALIZED (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
              FROM (SELECT vec_id, embedding,
                           unnest(generate_series(1, len(embedding))) AS i
                    FROM embeddings)),
@@ -1426,7 +1426,7 @@ def _emb_dedup_sql() -> str:
     through an independent recursive-CTE transitive closure, keep min-id."""
     return f"""
     WITH RECURSIVE
-    prs AS ({_srp_blocked_sql()}),
+    prs AS MATERIALIZED ({_srp_blocked_sql()}),
     edges AS (SELECT id_a AS a, id_b AS b FROM prs
               UNION SELECT id_b, id_a FROM prs),
     reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges)
@@ -1482,13 +1482,13 @@ def _srp_topk_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 8,
         ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)]
     )
     return f"""
-    WITH cbuckets AS ({corpus}),
-    qbase AS ({qbase}),
+    WITH cbuckets AS MATERIALIZED ({corpus}),
+    qbase AS MATERIALIZED ({qbase}),
     qprobe AS (SELECT qid, tbl, unnest([{probes}]) AS bucket FROM qbase),
     cand AS (SELECT DISTINCT q.qid, c.nid
              FROM qprobe q JOIN cbuckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
              WHERE q.qid <> c.nid),
-    dims AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+    dims AS MATERIALIZED (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
              FROM (SELECT vec_id, embedding,
                           unnest(generate_series(1, len(embedding))) AS i
                    FROM embeddings)),
