@@ -413,6 +413,83 @@ def test_parse_robots_handcrafted_edges(spark):
     assert got == [("/private", False, 7), ("/public", True, None)]
 
 
+def test_parse_robots_fuzz_vs_interpreter(spark):
+    """Seeded fuzz: 120 adversarial robots.txt documents (CRLF, tabs,
+    colons in values, weird casing, comment-only lines, delays with junk,
+    directives before any group) — distributed parser vs the imperative
+    interpreter must agree row-exactly."""
+    import random
+
+    from wss_spark.crawl.robots import parse_robots
+
+    r = random.Random(20260818)
+    frags = [
+        "User-agent: *", "user-AGENT: wss", "USER-AGENT:\totherbot",
+        "Disallow: /a", "disallow:\t/b/c", "Allow: /a:b:c",  # colons in value
+        "Disallow:", "Allow:   ", "Crawl-delay: 4", "crawl-delay:\t9",
+        "Crawl-delay: 4.5", "Crawl-delay: -2", "Crawl-delay: soon",
+        "# only a comment", "", "   ", "no separator here",
+        "Disallow: /x  # trailing comment", "Sitemap: https://h/x.xml",
+        "Unknown-key: v", ":", ": empty key", "Disallow : /spaced-key",
+    ]
+    hosts = []
+    for h in range(120):
+        n = r.randint(1, 12)
+        sep = r.choice(["\n", "\r\n"])
+        hosts.append((f"f{h}.cn", sep.join(r.choice(frags) for _ in range(n))))
+
+    def interpret(txt, agent):
+        rows = set()
+        groups, in_run = [], False
+        for raw_line in txt.replace("\r\n", "\n").split("\n"):
+            line = raw_line.split("#", 1)[0].strip()
+            if ":" not in line:
+                continue
+            key, value = line.split(":", 1)
+            key, value = key.strip().lower(), value.strip()
+            if not key:
+                continue
+            if key == "user-agent":
+                if not in_run:
+                    groups.append((set(), []))
+                    in_run = True
+                groups[-1][0].add(value.lower())
+            else:
+                in_run = False
+                if groups:
+                    groups[-1][1].append((key, value))
+        for agents, ds in groups:
+            if agent not in agents and "*" not in agents:
+                continue
+            delay = None
+            for k, v in ds:
+                if k == "crawl-delay":
+                    try:
+                        iv = int(v)
+                    except ValueError:
+                        continue
+                    if iv > 0:
+                        delay = max(delay or 0, iv)
+            for k, v in ds:
+                if k == "allow":
+                    rows.add((v, True, delay))
+                elif k == "disallow" and v != "":
+                    rows.add((v, False, delay))
+        return rows
+
+    raw = spark.createDataFrame(hosts, "host string, robots_txt string")
+    for agent in ("wss", "otherbot"):
+        got = {}
+        for row in parse_robots(raw, agent=agent).collect():
+            got.setdefault(row["host"], set()).add(
+                (row["path_prefix"], row["allowed"], row["crawl_delay"]))
+        want = {h: interpret(t, agent) for h, t in hosts}
+        want = {h: s for h, s in want.items() if s}
+        assert got == want, {h: (got.get(h), want.get(h))
+                             for h in set(got) | set(want)
+                             if got.get(h) != want.get(h)}
+
+
 def test_parse_robots_composes_with_politeness(spark):
     """parse_robots output drives robots_gate and host_budgets directly:
     disallowed paths are gated out and the parsed crawl_delay caps per-host

@@ -51,21 +51,26 @@ def parse_robots(raw: DataFrame, agent: str = "*", host_col: str = "host",
     groups union, mirroring how robots_gate resolves longest-prefix-first
     over all of a host's rows).
     """
+    def _strip(c):
+        # F.trim strips only spaces; robots.txt in the wild is CRLF- and
+        # tab-ridden, so trim ALL whitespace like Python's str.strip()
+        return F.regexp_replace(c, r"^\s+|\s+$", "")
+
     lines = raw.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(txt_col), r"\n")).alias("ln", "line"),
+        F.posexplode(F.split(F.col(txt_col), r"\r?\n")).alias("ln", "line"),
     )
     # strip comments + whitespace; split "Key: value" at the FIRST colon.
     # Lines with no colon are no-ops (substring_index would otherwise turn
     # the whole line into a fake key).
     staged = lines.select(
         "host", "ln",
-        F.trim(F.regexp_replace(F.col("line"), r"#.*$", "")).alias("l"),
+        _strip(F.regexp_replace(F.col("line"), r"#.*$", "")).alias("l"),
     )
     kv = staged.select(
         "host", "ln",
-        F.lower(F.trim(F.substring_index("l", ":", 1))).alias("key"),
-        F.trim(F.expr("substring(l, instr(l, ':') + 1)")).alias("value"),
+        F.lower(_strip(F.substring_index("l", ":", 1))).alias("key"),
+        _strip(F.expr("substring(l, instr(l, ':') + 1)")).alias("value"),
         F.col("l").contains(":").alias("_has_colon"),
     ).filter(F.col("_has_colon") & (F.col("key") != "")).drop("_has_colon")
 
@@ -93,10 +98,11 @@ def parse_robots(raw: DataFrame, agent: str = "*", host_col: str = "host",
         .select(
             "host", "gid",
             # try_cast: non-numeric delays ("soon") are ignored, not ANSI
-            # cast errors
+            # cast errors; non-positive delays are meaningless pacing and
+            # treated as absent
             F.col("value").try_cast("int").alias("crawl_delay"),
         )
-        .filter(F.col("crawl_delay").isNotNull())
+        .filter(F.col("crawl_delay") > 0)
         .groupBy("host", "gid")
         .agg(F.max("crawl_delay").alias("crawl_delay"))
     )

@@ -1270,9 +1270,11 @@ def expected_robots_rules(n_hosts: int, seed: int = 42,
             for key, value in directives:
                 if key == "crawl-delay":
                     try:
-                        delay = max(delay or 0, int(value))
+                        iv = int(value)
                     except ValueError:
-                        pass
+                        continue
+                    if iv > 0:  # non-positive pacing is treated as absent
+                        delay = max(delay or 0, iv)
             for key, value in directives:
                 if key == "allow":
                     rows.add((host, value, True, delay))
