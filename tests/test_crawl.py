@@ -521,6 +521,36 @@ def test_parse_robots_composes_with_politeness(spark):
     assert counts == {"a.cn": 2, "b.cn": 4}
 
 
+def test_run_crawl_accepts_raw_robots_text(spark, tmp_path, crawl_world):
+    """run_crawl given RAW (host, robots_txt) text must parse it in-engine
+    and produce the IDENTICAL crawl to the same rules passed pre-parsed."""
+    rules = spark.createDataFrame(
+        [(h, p, False, None) for h, p in BLOCKED]
+        + [("weibo.cn", "/", True, 10)],
+        "host string, path_prefix string, allowed boolean, crawl_delay int",
+    )
+    by_host: dict[str, list[str]] = {}
+    for h, p in BLOCKED:
+        by_host.setdefault(h, []).append(f"Disallow: {p}")
+    by_host.setdefault("weibo.cn", []).extend(["Allow: /", "Crawl-delay: 10"])
+    raw = spark.createDataFrame(
+        [(h, "User-agent: wssbot\n" + "\n".join(ls))
+         for h, ls in by_host.items()],
+        "host string, robots_txt string",
+    )
+    cfg = lambda sub: CrawlConfig(  # noqa: E731
+        budget=BUDGET, n_buckets=N_BUCKETS, m_bits=M_BITS, wave_seconds=30.0,
+        robots_agent="wssbot", checkpoint_dir=str(tmp_path / sub),
+    )
+    res_raw = run_crawl(spark, crawl_world["pages"], crawl_world["seeds"],
+                        cfg("raw"), robots=raw)
+    res_tbl = run_crawl(spark, crawl_world["pages"], crawl_world["seeds"],
+                        cfg("tbl"), robots=rules)
+    assert visit_order(res_raw.fetch_log) == visit_order(res_tbl.fetch_log)
+    assert ({r[0] for r in res_raw.seen.select("canon_url").collect()}
+            == {r[0] for r in res_tbl.seen.select("canon_url").collect()})
+
+
 def test_crawl_delay_budgets_match_simulator(spark, tmp_path, crawl_world):
     """Robots crawl_delay shapes per-host admission: with wave_seconds=30 and
     weibo.cn declaring delay 10, the hot host caps at floor(30/10)=3 per wave

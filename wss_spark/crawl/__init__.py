@@ -10,8 +10,11 @@ with a distributed, deterministic wave engine:
 - frontier expansion from parsed pages (``discover.py``)
 - wave loop with per-wave snapshot checkpointing + resume (``frontier.py``,
   ``checkpoint.py``)
+- robots.txt parsing as a DataFrame transformation: raw (host, robots_txt)
+  text → the ROBOTS rules table (``robots.py``)
 - single-threaded reference-order simulator used by equivalence tests
   (``simulator.py``)
 """
 
 from wss_spark.crawl.frontier import CrawlConfig, run_crawl  # noqa: F401
+from wss_spark.crawl.robots import parse_robots  # noqa: F401

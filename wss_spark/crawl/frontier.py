@@ -93,6 +93,10 @@ class CrawlConfig:
     # compaction normalizes both into bucketed segments (see
     # checkpoint.write_seen_keys). 0 forces bucketed appends always.
     seen_flat_max_keys: int = 50_000
+    # the user-agent whose robots.txt groups bind this crawl, used when
+    # run_crawl receives RAW (host, robots_txt) text and parses it
+    # in-engine (crawl/robots.py); "*" = the wildcard groups only
+    robots_agent: str = "*"
     # diagnostics: record per-wave bloom-maybe slice size and its
     # false-positive share (maybe rows that the exact store proves NEW) in
     # metrics — two extra counts per wave, off in production
@@ -160,6 +164,17 @@ def run_crawl(
     ``progress`` field (`WeiboDeepAnalyzer/api_server.py:262-274`)."""
     cfg = config or CrawlConfig()
     root = cfg.checkpoint_dir or tempfile.mkdtemp(prefix="wss_crawl_")
+
+    # robots may arrive as RAW text (host, robots_txt) — the shape a fetch
+    # of /robots.txt produces — or as the parsed ROBOTS rules table. Parse
+    # in-engine when raw (crawl/robots.py); rules are control-plane-small,
+    # so materialize once instead of re-running the parse per wave.
+    if robots is not None and "robots_txt" in robots.columns:
+        from wss_spark.crawl.robots import parse_robots
+
+        robots = parse_robots(
+            robots, agent=cfg.robots_agent
+        ).localCheckpoint(eager=True)
 
     # fetch target: exact url → html (the reference fetches literal urls;
     # canonicalization exists only for the seen set, where /comment/W and
