@@ -413,6 +413,29 @@ def test_parse_robots_handcrafted_edges(spark):
     assert got == [("/private", False, 7), ("/public", True, None)]
 
 
+def test_parse_sitemaps(spark):
+    """Sitemap: directives are host-wide and group-independent; URL values
+    keep their internal colons; comments/CRLF handled; dedup across
+    repeats."""
+    from wss_spark.crawl.robots import parse_sitemaps
+
+    txt = "\r\n".join([
+        "User-agent: nope",           # sitemaps are NOT bound to groups
+        "Disallow: /x",
+        "Sitemap: https://h1/a.xml",
+        "sitemap:\thttps://h1/b.xml  # comment",
+        "Sitemap: https://h1/a.xml",  # repeat → dedup
+        "Sitemap:",                   # empty → dropped
+    ])
+    raw = spark.createDataFrame(
+        [("h1", txt), ("h2", "no sitemap here")],
+        "host string, robots_txt string",
+    )
+    got = sorted((r["host"], r["sitemap_url"])
+                 for r in parse_sitemaps(raw).collect())
+    assert got == [("h1", "https://h1/a.xml"), ("h1", "https://h1/b.xml")]
+
+
 def test_parse_robots_fuzz_vs_interpreter(spark):
     """Seeded fuzz: 120 adversarial robots.txt documents (CRLF, tabs,
     colons in values, weird casing, comment-only lines, delays with junk,

@@ -120,3 +120,35 @@ def parse_robots(raw: DataFrame, agent: str = "*", host_col: str = "host",
                 F.col("crawl_delay").cast("int").alias("crawl_delay"))
         .distinct()
     )
+
+
+def parse_sitemaps(raw: DataFrame, host_col: str = "host",
+                   txt_col: str = "robots_txt") -> DataFrame:
+    """(host, sitemap_url) rows from ``Sitemap:`` directives — host-wide
+    and user-agent-independent per RFC 9309 §2.3 (they may appear anywhere
+    in the file, outside any group), which is why this is a separate
+    function from :func:`parse_robots` rather than a rule kind. The output
+    is the seed-discovery side channel a production frontier unions into
+    its seed list."""
+    staged = raw.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(txt_col), r"\r?\n")).alias("line"),
+    ).select(
+        "host",
+        F.regexp_replace(
+            F.regexp_replace(F.col("line"), r"#.*$", ""), r"^\s+|\s+$", ""
+        ).alias("l"),
+    )
+    return (
+        staged.select(
+            "host",
+            F.lower(F.regexp_replace(
+                F.substring_index("l", ":", 1), r"^\s+|\s+$", "")).alias("key"),
+            F.regexp_replace(
+                F.expr("substring(l, instr(l, ':') + 1)"),
+                r"^\s+|\s+$", "").alias("sitemap_url"),
+        )
+        .filter((F.col("key") == "sitemap") & (F.col("sitemap_url") != ""))
+        .select("host", "sitemap_url")
+        .distinct()
+    )
