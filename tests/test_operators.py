@@ -372,6 +372,28 @@ def test_clean_corpus_stages(spark):
     assert corpus.clean_corpus(docs, langs=("en",), min_quality=1.01).count() == 0
 
 
+def test_pagerank(spark):
+    """Integer fixed-point PageRank: bit-identical across partition
+    layouts, hub gets max rank, mass is conserved up to floor-division
+    loss, empty input yields an empty typed frame."""
+    from wss_spark.synth import expected_pagerank, pagerank_edges
+
+    edges = spark.createDataFrame(pagerank_edges(40), "src long, dst long")
+    got = sorted((r["node"], r["rank_fp"])
+                 for r in analytics.pagerank(edges).collect())
+    assert got == expected_pagerank(40)
+    got13 = sorted(
+        (r["node"], r["rank_fp"])
+        for r in analytics.pagerank(edges.repartition(13)).collect())
+    assert got13 == got  # exact long sums → layout cannot move a bit
+    ranks = dict(got)
+    assert max(ranks, key=ranks.get) == 0  # the hub node
+    scale = 10**12
+    assert 0.9 * scale <= sum(ranks.values()) <= scale
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert analytics.pagerank(empty).count() == 0
+
+
 def test_split_by_hash(spark):
     """Deterministic, partitioning-independent, incrementally stable split
     with roughly proportional buckets."""

@@ -647,6 +647,29 @@ def g1_repost_degree(spark, sf):
     ).select("c_custkey", "c_nationkey", "degree", "rnk")
 
 
+_N_PR_NODES = 60
+
+
+@_q(
+    "g2_pagerank",
+    _values_table(
+        synth.expected_pagerank(_N_PR_NODES),
+        [("node", "BIGINT"), ("rank_fp", "BIGINT")],
+    ),
+)
+def g2_pagerank(spark, sf):
+    """PageRank influence over the repost graph (the degree ranking's
+    standard refinement): analytics.pagerank in exact 64-bit fixed-point
+    arithmetic — long sums are order-independent, so the result is
+    bit-identical under any partitioning and an imperative replay of the
+    same recurrence (synth.expected_pagerank) value-oracles it exactly,
+    dangling-mass redistribution and all."""
+    edges = spark.createDataFrame(
+        synth.pagerank_edges(_N_PR_NODES), "src long, dst long"
+    )
+    return analytics.pagerank(edges)
+
+
 # ===========================================================================
 # §2.6 sorts / top-k ; §2.7 set ops
 # ===========================================================================
@@ -2574,6 +2597,10 @@ _DEMOTED = [
     # timestamp-extraction + count shape stays in-window via w5_sessionize
     # (same events timestamp math) and a7 (same events groupBy-agg)
     "a5_events_hourly",
+    # demoted r04g to fit g2_pagerank: the JSON-in-a-cell render is carried
+    # in-window by user_info_enriched (same get_json_object/to_json path,
+    # record-level)
+    "f_json_extract",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the
@@ -2606,6 +2633,7 @@ WINDOW_CRITICAL = [
     "dd_embedding_dedup",
     "llm_corpus_split",
     "robots_parse",
+    "g2_pagerank",
 ]
 DRIVER_WINDOW = 50
 

@@ -135,3 +135,91 @@ def running_sum(df: DataFrame, part_cols: list[str], order_cols: list[str],
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(out_name, F.sum(F.col(value_col)).over(w))
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             damping_num: int = 85, damping_den: int = 100,
+             n_iter: int = 10, scale: int = 10**12) -> DataFrame:
+    """Deterministic PageRank over an edge table: (node, rank_fp) with
+    ``rank_fp`` the rank in fixed-point units of ``1/scale`` — the
+    influence ranking of the repost/relationship network (the
+    degree-based `top_influencers` is the reference's analog; PageRank is
+    its standard refinement for training-data source weighting).
+
+    ALL arithmetic is 64-bit integer (fixed-point scale, floor division,
+    integer damping fraction): long sums are exact and order-independent,
+    so the result is bit-identical under any partitioning, core count, or
+    engine — an imperative replay of the same recurrence value-oracles it
+    (the ann_srp_topk precedent: exact oracle of a deterministic
+    definition). Float PageRank would differ in low bits per shuffle
+    layout, which a value-hash gate cannot tolerate.
+
+    Recurrence (per iteration, integer ops only):
+      contrib(v)   = rank_fp(v) div out_degree(v)   along each edge
+      dangling     = Σ rank_fp(v) over nodes with no out-edge
+      rank_fp'(u)  = ((scale - d·scale) + d·(Σ contrib + dangling div N·…))
+    concretely: base = (scale//N - d(scale//N)) + damped inflow, with
+    d(x) = x·damping_num div damping_den.
+
+    Scale shape: one groupBy(src) for degrees, then per iteration one
+    equi-join (edges ⋈ ranks, both hash-partitioned on the source node)
+    plus one groupBy(dst) long-sum — partial-aggregated map-side. The
+    dangling mass is one scalar aggregate per iteration (control-plane).
+    Plans stay flat via per-iteration localCheckpoint (the dup_clusters /
+    ivf_train_centroids contract).
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).persist()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist(); nodes.unpersist()
+        return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
+    out_deg = e.groupBy(F.col("_s").alias("node")).agg(
+        F.count("*").alias("_deg")
+    )
+    init = scale // n
+    # (1-d) * scale/N in exact integer form
+    teleport = init - (init * damping_num // damping_den)
+    ranks = nodes.withColumn("rank_fp", F.lit(init).cast("long"))
+    ranks = ranks.localCheckpoint(eager=True)
+
+    for _ in range(n_iter):
+        with_deg = ranks.join(out_deg, "node", "left")
+        # dangling nodes: no out-edges → their whole mass teleports
+        dangling = (
+            with_deg.filter(F.col("_deg").isNull())
+            .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        dangling_share = int(dangling) // n
+        contribs = (
+            with_deg.filter(F.col("_deg").isNotNull())
+            .select(F.col("node").alias("_s"),
+                    F.expr("div(rank_fp, _deg)").alias("_c"))
+            .join(e, "_s")
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("_c").alias("_in"))
+        )
+        new = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("_in"), F.lit(0))
+                 + F.lit(dangling_share)).alias("_inflow"),
+            )
+            .select(
+                "node",
+                (F.lit(teleport)
+                 + F.expr(f"div(_inflow * {damping_num}, {damping_den})")
+                 ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ranks = new
+    e.unpersist(); nodes.unpersist()
+    return ranks

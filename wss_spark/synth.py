@@ -1281,3 +1281,57 @@ def expected_robots_rules(n_hosts: int, seed: int = 42,
                 elif key == "disallow" and value != "":
                     rows.add((host, value, False, delay))
     return sorted(rows, key=lambda t: (t[0], t[1], t[2], t[3] is None, t[3]))
+
+
+# ---------------------------------------------------------------------------
+# PageRank fixtures: a deterministic directed graph + an imperative replay
+# of analytics.pagerank's exact integer recurrence (the value oracle — the
+# arithmetic is fixed-point, so Spark and pure Python must agree bit-exactly)
+# ---------------------------------------------------------------------------
+
+
+def pagerank_edges(n_nodes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic directed graph with the structures that exercise
+    PageRank: a hub (everyone links to node 0), a chain, random cross
+    edges, and dangling nodes (the top node range has no out-edges)."""
+    r = _rng(seed, 888)
+    edges: set[tuple[int, int]] = set()
+    n_dangling = max(1, n_nodes // 10)
+    linkers = n_nodes - n_dangling  # nodes [linkers, n_nodes) never link out
+    for v in range(1, linkers):
+        edges.add((v, 0))                       # hub
+        edges.add((v, (v + 1) % n_nodes))       # chain (may hit dangling)
+    for _ in range(n_nodes * 2):
+        s = r.randrange(linkers)
+        t = r.randrange(n_nodes)
+        if s != t:
+            edges.add((s, t))
+    return sorted(edges)
+
+
+def expected_pagerank(n_nodes: int, seed: int = 42, damping_num: int = 85,
+                      damping_den: int = 100, n_iter: int = 10,
+                      scale: int = 10**12) -> list[tuple[int, int]]:
+    """Imperative replay of analytics.pagerank's integer recurrence —
+    exact oracle of the deterministic definition (Python ints replay the
+    64-bit fixed-point math bit-for-bit)."""
+    edges = pagerank_edges(n_nodes, seed)
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    out_deg: dict[int, int] = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    init = scale // n
+    teleport = init - (init * damping_num // damping_den)
+    rank = {v: init for v in nodes}
+    for _ in range(n_iter):
+        dangling = sum(rank[v] for v in nodes if v not in out_deg)
+        share = dangling // n
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // out_deg[s]
+        rank = {
+            v: teleport + ((inflow[v] + share) * damping_num // damping_den)
+            for v in nodes
+        }
+    return sorted(rank.items())
