@@ -372,6 +372,58 @@ def test_clean_corpus_stages(spark):
     assert corpus.clean_corpus(docs, langs=("en",), min_quality=1.01).count() == 0
 
 
+def test_dup_clusters_fuzz_vs_union_find(spark):
+    """Seeded fuzz: random pair sets (chains, cliques, stars, self-loops,
+    duplicates, reversed pairs) — hash-min label propagation must produce
+    exactly the union-find components with min-id representatives."""
+    import random
+
+    r = random.Random(20260818)
+    pairs = set()
+    for _ in range(300):
+        kind = r.random()
+        if kind < 0.3:   # chain segment
+            a = r.randrange(200); pairs.add((a, a + 1))
+        elif kind < 0.5:  # star
+            hub = r.randrange(0, 200, 25); pairs.add((hub, r.randrange(300)))
+        elif kind < 0.7:  # clique-ish
+            base = r.randrange(250); pairs.add((base, base + r.randint(1, 5)))
+        elif kind < 0.8:  # self-loop
+            a = r.randrange(300); pairs.add((a, a))
+        else:             # far edge / reversed duplicates
+            a, b = r.randrange(300), r.randrange(300)
+            pairs.add((max(a, b), min(a, b)))
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    want = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(sorted(pairs), "doc_a long, doc_b long")
+    got = {r2["doc_id"]: r2["cluster_rep"]
+           for r2 in dedup.dup_clusters(df).collect()}
+    # min-id rep: path-compress want to the true minimum of each component
+    comp = {}
+    for v, root in want.items():
+        comp.setdefault(find(root), []).append(v)
+    want_min = {v: min(members)
+                for root, members in comp.items() for v in members}
+    assert got == want_min
+
+
 def test_pagerank(spark):
     """Integer fixed-point PageRank: bit-identical across partition
     layouts, hub gets max rank, mass is conserved up to floor-division
