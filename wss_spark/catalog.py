@@ -647,6 +647,45 @@ def g1_repost_degree(spark, sf):
     ).select("c_custkey", "c_nationkey", "degree", "rnk")
 
 
+_RECRAWL_MUT = "CASE WHEN doc_id % 5 = 0 THEN ' [rev2]' ELSE '' END"
+
+
+@_q(
+    "t4_recrawl_diff",
+    f"""
+    WITH o AS (SELECT doc_id, md5(text) AS oh
+               FROM documents WHERE doc_id % 2 = 0),
+    n AS (SELECT doc_id, md5(text || {_RECRAWL_MUT}) AS nh
+          FROM documents WHERE doc_id % 3 <> 1)
+    SELECT doc_id, change FROM (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN oh IS NULL THEN 'new'
+                  WHEN nh IS NULL THEN 'removed'
+                  WHEN oh <> nh THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+    WHERE change <> 'unchanged'
+    """,
+)
+def t4_recrawl_diff(spark, sf):
+    """Incremental re-crawl diff (T4 as a first-class operator): two
+    overlapping snapshots with a deterministic content mutation → (key,
+    new/changed/removed) via one fingerprint full-outer join
+    (crawl/recrawl.py — the payload never rides past the scan)."""
+    from wss_spark.crawl.recrawl import recrawl_diff
+
+    docs = _t(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 1).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" [rev2]")).otherwise(F.lit("")),
+        ),
+    )
+    return recrawl_diff(old, new, key_col="doc_id", content_col="text")
+
+
 _N_PR_NODES = 60
 
 
@@ -2601,6 +2640,10 @@ _DEMOTED = [
     # in-window by user_info_enriched (same get_json_object/to_json path,
     # record-level)
     "f_json_extract",
+    # demoted r04h to fit t4_recrawl_diff: the whitespace tokenization is
+    # computed identically inside in-window ts_quality's q_word component,
+    # and the BPE-ish word split stays pinned by pytest (test_operators)
+    "ts_token_counts",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the
@@ -2634,6 +2677,7 @@ WINDOW_CRITICAL = [
     "llm_corpus_split",
     "robots_parse",
     "g2_pagerank",
+    "t4_recrawl_diff",
 ]
 DRIVER_WINDOW = 50
 

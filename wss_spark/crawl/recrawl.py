@@ -1,0 +1,52 @@
+"""Incremental re-crawl: diff two snapshots of the pages store and derive
+the fetch list for a refresh crawl (SURVEY §2.9 T4 — the reference's analog
+is the per-spider "skip what the CSV already holds" resume, e.g.
+`独立版/(using)WeiboUserScrapy.py:447-456`; at Common-Crawl scale the same
+decision is a content-hash diff between the previous warehouse snapshot and
+the newly fetched batch).
+
+Scale shape: one full-outer equi-join on the canonical key — both sides
+hash-partitioned, skew-free (the key is a URL, not a host) — comparing
+md5 fingerprints, never the payloads. The diff output is tiny relative to
+the store (the change rate), and the downstream seed list is a projection
+of it. No driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHANGES = ("new", "changed", "removed", "unchanged")
+
+
+def recrawl_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
+                 content_col: str = "text",
+                 include_unchanged: bool = False) -> DataFrame:
+    """(key, change) per url across two snapshots: ``new`` (key only in the
+    new snapshot), ``removed`` (only in the old), ``changed`` (both, md5 of
+    content differs), and — only with ``include_unchanged`` — ``unchanged``.
+    Content comparison is by md5 fingerprint so the join never carries the
+    payload column past the scan."""
+    o = old.select(F.col(key_col).alias("k"),
+                   F.md5(F.col(content_col)).alias("_oh"))
+    n = new.select(F.col(key_col).alias("k"),
+                   F.md5(F.col(content_col)).alias("_nh"))
+    j = o.join(n, "k", "full_outer")
+    change = (
+        F.when(F.col("_oh").isNull(), F.lit("new"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(F.col("k").alias(key_col), change.alias("change"))
+    if not include_unchanged:
+        out = out.filter(F.col("change") != "unchanged")
+    return out
+
+
+def recrawl_seeds(diff: DataFrame, key_col: str = "url") -> DataFrame:
+    """The refresh crawl's fetch list: urls that are new or whose content
+    changed (removed urls have nothing to fetch). Feed to run_crawl as the
+    seed frame."""
+    return diff.filter(F.col("change").isin("new", "changed")).select(key_col)
