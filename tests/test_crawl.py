@@ -486,6 +486,32 @@ def test_parse_sitemaps(spark):
     assert got == [("h1", "https://h1/a.xml"), ("h1", "https://h1/b.xml")]
 
 
+def test_sitemap_locs(spark):
+    """Sitemap XML loc extraction: urlset + sitemapindex entries, inner
+    whitespace trimmed, XML entities unescaped (&amp; last), empty locs
+    dropped."""
+    from wss_spark.crawl.robots import sitemap_locs
+
+    xml = ("<?xml version=\"1.0\"?><urlset>"
+           "<url><loc> https://h/a </loc><lastmod>x</lastmod></url>"
+           "<url><loc>https://h/b?x=1&amp;y=2</loc></url>"
+           "<url><loc>https://h/amp&amp;lt;kept</loc></url>"
+           "<url><loc></loc></url></urlset>")
+    idx = ("<sitemapindex><sitemap><loc>https://h/s2.xml</loc></sitemap>"
+           "</sitemapindex>")
+    df = spark.createDataFrame(
+        [("https://h/s.xml", xml), ("https://h/i.xml", idx)],
+        "url string, xml string",
+    )
+    got = sorted((r["sitemap_url"], r["loc"]) for r in sitemap_locs(df).collect())
+    assert got == [
+        ("https://h/i.xml", "https://h/s2.xml"),
+        ("https://h/s.xml", "https://h/a"),
+        ("https://h/s.xml", "https://h/amp&lt;kept"),
+        ("https://h/s.xml", "https://h/b?x=1&y=2"),
+    ]
+
+
 def test_parse_robots_fuzz_vs_interpreter(spark):
     """Seeded fuzz: 120 adversarial robots.txt documents (CRLF, tabs,
     colons in values, weird casing, comment-only lines, delays with junk,

@@ -152,3 +152,30 @@ def parse_sitemaps(raw: DataFrame, host_col: str = "host",
         .select("host", "sitemap_url")
         .distinct()
     )
+
+
+def sitemap_locs(pages: DataFrame, url_col: str = "url",
+                 xml_col: str = "xml") -> DataFrame:
+    """(sitemap_url, loc) rows from fetched sitemap XML documents — both
+    urlset entries (``<url><loc>…``) and sitemap-index entries
+    (``<sitemap><loc>…``, nested sitemaps to fetch next). Together with
+    :func:`parse_sitemaps` this closes the seed-discovery chain:
+    robots.txt → sitemap urls → fetch → loc extraction → frontier seeds.
+
+    JVM-side regexp extraction (sitemap XML is machine-generated and flat;
+    a full XML parse buys nothing here), zero shuffles — a pure projection
+    + explode bounded by locs-per-sitemap (50k by protocol limit)."""
+    locs = F.expr(rf"regexp_extract_all({xml_col}, '<loc>\\s*([^<]*?)\\s*</loc>', 1)")
+    raw = (
+        pages.select(F.col(url_col).alias("sitemap_url"), locs.alias("_locs"))
+        .select("sitemap_url", F.explode("_locs").alias("loc"))
+        .filter(F.col("loc") != "")
+    )
+    # sitemap locs are XML-escaped (&amp; in query strings is mandatory);
+    # unescape the five predefined entities, &amp; LAST so sequences like
+    # &amp;lt; decode to the literal '&lt;' rather than '<'
+    u = F.col("loc")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        u = F.replace(u, F.lit(ent), F.lit(ch))
+    return raw.select("sitemap_url", u.alias("loc"))
