@@ -473,6 +473,35 @@ def test_split_by_hash(spark):
     assert set(two.values()) == {"a", "b"} and 400 <= n_a <= 600
 
 
+def test_select_by_token_budget(spark):
+    """Hand-checked prefix semantics: whole qualities admitted first, the
+    boundary quality admitted in id order until the residual is spent, an
+    overflowing doc stops admission (even if later docs would fit)."""
+    from wss_spark.operators import corpus
+
+    rows = [
+        # (doc_id, quality, ws_tokens)
+        (1, 0.9, 50), (2, 0.9, 50),          # q=0.9: 100 total
+        (3, 0.5, 40), (4, 0.5, 100), (5, 0.5, 10),  # q=0.5 boundary
+        (6, 0.1, 5),                          # below cutoff, never reached
+        (7, None, 5), (8, 0.8, None),         # null quality/tokens dropped
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, quality double, ws_tokens long")
+    # budget 150: q=0.9 fits whole (100); residual 50 inside q=0.5:
+    # doc 3 (40) fits (cum 40), doc 4 (100) overflows -> stop; doc 5 NOT
+    # admitted although 40+10 <= 50 would fit it (prefix, not knapsack)
+    got = sorted(r["doc_id"] for r in
+                 corpus.select_by_token_budget(docs, 150).collect())
+    assert got == [1, 2, 3]
+    # budget covers everything non-null
+    got_all = sorted(r["doc_id"] for r in
+                     corpus.select_by_token_budget(docs, 10**6).collect())
+    assert got_all == [1, 2, 3, 4, 5, 6]
+    # budget smaller than the best doc -> empty
+    assert corpus.select_by_token_budget(docs, 10).count() == 0
+
+
 def test_dedup_near_embeddings(spark):
     """Embedding near-dedup end to end: exact-duplicate vectors collapse to
     the min-id representative; dissimilar vectors survive."""

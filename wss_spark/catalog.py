@@ -1262,6 +1262,41 @@ def llm_corpus_split(spark, sf):
     ).select("doc_id", "split")
 
 
+_TOKEN_BUDGET = 15000
+
+
+@_q(
+    "llm_token_budget",
+    f"""
+    WITH j AS (SELECT doc_id, {_quality_expr()} AS quality,
+                      CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                           x -> x <> '')) AS BIGINT) AS ws_tokens
+               FROM documents),
+    o AS (SELECT doc_id, quality, ws_tokens,
+                 SUM(ws_tokens) OVER (ORDER BY quality DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+          FROM j)
+    SELECT doc_id, quality, ws_tokens FROM o WHERE cum <= {_TOKEN_BUDGET}
+    """,
+)
+def llm_token_budget(spark, sf):
+    """Token-budgeted corpus selection: the best documents by quality until
+    the token budget is spent — EXACTLY the global sort-take prefix (the
+    DuckDB oracle is that naive cumulative window), computed WITHOUT a
+    global sort: per-quality token totals (tiny, ≤1e6 distinct 6-dp
+    values) pick the cutoff, and only the boundary-quality slice is
+    window-ranked (corpus.select_by_token_budget)."""
+    docs = _t(spark, sf, "documents")
+    ann = docs.join(textstats.quality_score(docs).select("doc_id", "quality"),
+                    "doc_id").join(
+        textstats.token_counts(docs).select(
+            "doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens")),
+        "doc_id")
+    return corpus.select_by_token_budget(
+        ann, _TOKEN_BUDGET
+    ).select("doc_id", "quality", "ws_tokens")
+
+
 @_q("llm_corpus_clean", _corpus_clean_sql())
 def llm_corpus_clean(spark, sf):
     """The flagship training-data pipeline composition: documents → language
@@ -2644,6 +2679,13 @@ _DEMOTED = [
     # computed identically inside in-window ts_quality's q_word component,
     # and the BPE-ish word split stays pinned by pytest (test_operators)
     "ts_token_counts",
+    # r04i: registered demoted FROM BIRTH (the one exception to the
+    # "previously driver-green" rule in this list) — the 50-slot window is
+    # full of record-replay gates that must not move; this gate's oracle
+    # runs in the tools/check_oracle.py re-run (recorded in BASELINE.md)
+    # and its components (ts_quality, ts_token_counts shapes) are carried
+    # in-window
+    "llm_token_budget",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from wss_spark.operators import dedup, textstats
@@ -110,3 +110,74 @@ def split_by_hash(docs: DataFrame,
     for name, bound in reversed(branches):
         expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
     return docs.select("*", expr.alias(out_col))
+
+
+def select_by_token_budget(docs: DataFrame, budget_tokens: int,
+                           quality_col: str = "quality",
+                           tokens_col: str = "ws_tokens",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Keep the best documents (by ``quality_col`` desc, ``id_col`` asc)
+    whose cumulative ``tokens_col`` stays within ``budget_tokens`` — the
+    final sizing step of a training-corpus build ("give me the best 50B
+    tokens"), exactly equal to sorting the whole corpus and taking the
+    prefix, WITHOUT the global sort.
+
+    Scale shape (two passes, no single-partition window):
+
+    1. aggregate token sums per distinct quality value (one map-side
+       combined shuffle; quality is rounded to 6 dp, so there are at most
+       ~1e6 distinct values — the per-quality totals are control-plane
+       small). The cumulative ladder over that tiny frame picks the
+       cutoff quality and the residual budget inside it.
+    2. qualities strictly above the cutoff pass whole; rows AT the cutoff
+       quality are ranked by a window partitioned on the cutoff value
+       only (the boundary slice, ≪ corpus) and admitted in ``id_col``
+       order until the residual budget is spent.
+
+    A document with more tokens than the remaining budget is skipped and
+    admission stops there (prefix semantics, like the naive sort-take).
+    Documents with NULL quality or tokens are never selected.
+    """
+    q = F.col(quality_col)
+    t = F.col(tokens_col).cast("long")
+    per_q = (
+        docs.filter(q.isNotNull() & t.isNotNull())
+        .groupBy(q.alias("_q")).agg(F.sum(t).alias("_tok"))
+        .orderBy(F.col("_q").desc())
+        .collect()
+    )
+    running = 0
+    cutoff_q = None        # boundary quality (partially admitted)
+    residual = 0
+    full_above: float | None = None  # min quality admitted WHOLE
+    for row in per_q:
+        if running + row["_tok"] <= budget_tokens:
+            running += row["_tok"]
+            full_above = row["_q"]
+        else:
+            cutoff_q = row["_q"]
+            residual = budget_tokens - running
+            break
+    if full_above is None and cutoff_q is None:
+        return docs.filter(F.lit(False))
+
+    whole = docs.filter(q.isNotNull() & t.isNotNull())
+    if full_above is not None:
+        kept = whole.filter(q >= F.lit(full_above))
+    else:
+        kept = whole.filter(F.lit(False))
+    if cutoff_q is not None and residual > 0:
+        boundary = (
+            whole.filter(q == F.lit(cutoff_q))
+            .withColumn(
+                "_cum",
+                F.sum(t).over(
+                    Window.partitionBy(q).orderBy(F.col(id_col).asc())
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .filter(F.col("_cum") <= residual)
+            .drop("_cum")
+        )
+        kept = kept.unionByName(boundary)
+    return kept
