@@ -260,6 +260,41 @@ def test_analytics_sessionize(spark):
     assert got == {1: 1, 2: 1, 3: 2, 4: 1}
 
 
+def test_multimodal_resize_and_frames(spark):
+    """Resize + frame-sample plumbing: only the right media kind transfers,
+    output is deterministic across partition layouts, frame fan-out is
+    bounded by duration and max_frames, and the real decode path stays
+    codec-gated."""
+    import pytest as _pytest
+
+    media = multimodal.synth_media_df(spark, 30, seed=9).cache()
+    rz = multimodal.resize_images(media, 32, 24)
+    rows = {r["media_id"]: r for r in rz.collect()}
+    n_images = media.filter(F.col("kind") == "image").count()
+    assert len(rows) == n_images
+    assert all(r["out_width"] == 32 and r["out_height"] == 24
+               and len(r["payload"]) == 32 * 24 // 8 for r in rows.values())
+    again = {r["media_id"]: r["content_sha"]
+             for r in multimodal.resize_images(media.repartition(7), 32, 24).collect()}
+    assert again == {k: v["content_sha"] for k, v in rows.items()}
+
+    fr = multimodal.sample_frames(media, every_ms=1000, max_frames=4)
+    per = {r["media_id"]: r["n"] for r in
+           fr.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    durs = {r["media_id"]: r["duration_ms"] for r in
+            media.filter(F.col("kind") == "video").collect()}
+    assert set(per) == set(durs)
+    for mid, n in per.items():
+        want = min(4, (durs[mid] or 0) // 1000 + 1) if durs[mid] else 1
+        assert n == want
+    idx = {(r["media_id"], r["frame_index"]) for r in fr.collect()}
+    assert all((m, k) in idx for m, n in per.items() for k in range(n))
+
+    with _pytest.raises(multimodal.DecoderUnavailable):
+        multimodal.real_decode_image(b"x")
+    media.unpersist()
+
+
 def test_multimodal_pipeline(spark):
     media = multimodal.synth_media_df(spark, 50, seed=3)
     feats = multimodal.extract_features(media)

@@ -180,3 +180,106 @@ def media_dedup(media: DataFrame) -> DataFrame:
         .groupBy("content_sha")
         .agg(F.min("media_id").alias("keep_id"), F.count("*").alias("dup_count"))
     )
+
+
+RESIZED = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("out_width", IntegerType(), False),
+        StructField("out_height", IntegerType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("content_sha", StringType(), False),
+    ]
+)
+
+FRAMES = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+
+def fake_resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resize: a pseudo-payload whose bytes are a
+    pure function of (source payload, target dims), sized ~width×height/8
+    — exercises the real batch/memory shape without codecs."""
+    seed = hashlib.sha256((payload or b"") + f":{width}x{height}".encode()).digest()
+    need = max(1, width * height // 8)
+    return (seed * (need // len(seed) + 1))[:need]
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  resizer=fake_resize_image) -> DataFrame:
+    """Image resize pass (`media` → RESIZED rows), Arrow-batched
+    mapInPandas. The real decoder is codec-gated exactly like
+    real_decode_image (DecoderUnavailable in this sandbox); pass a real
+    ``resizer`` in production. Only image rows are processed — the filter
+    pushes to the scan, so audio/video payloads are never transferred."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                out = resizer(payload, width, height)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "out_width": width,
+                        "out_height": height,
+                        "payload": out,
+                        "content_sha": hashlib.sha256(out).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED.fields])
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, RESIZED)
+    )
+
+
+def fake_sample_frame(payload: bytes, ts_ms: int) -> bytes:
+    """Deterministic stand-in frame grab at a timestamp."""
+    return hashlib.sha256((payload or b"") + f"@{ts_ms}".encode()).digest() * 8
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  max_frames: int = 8,
+                  grabber=fake_sample_frame) -> DataFrame:
+    """Video frame sampling (`media` → FRAMES rows, one per sampled
+    timestamp): frames at 0, every_ms, 2·every_ms, … bounded by both the
+    clip's duration_ms and ``max_frames``. Arrow-batched mapInPandas; only
+    video rows transfer. The fan-out is bounded (max_frames) so a long
+    video cannot blow up a batch — at 100 TB the output partitioning
+    follows the input's size-aware repartition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, dur in zip(pdf["media_id"], pdf["payload"],
+                                         pdf["duration_ms"]):
+                payload = bytes(payload) if payload is not None else b""
+                dur = int(dur) if pd.notna(dur) else 0
+                n = min(max_frames, dur // every_ms + 1) if dur > 0 else 1
+                for k in range(n):
+                    ts = k * every_ms
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_index": k,
+                            "ts_ms": ts,
+                            "payload": grabber(payload, ts),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAMES.fields])
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload", "duration_ms")
+        .mapInPandas(run, FRAMES)
+    )
