@@ -448,6 +448,17 @@ def test_recrawl_diff_and_refresh_seeds(spark):
                          key_col="url", content_col="html")
     assert {r["url"]: r["change"] for r in diff3.collect()}[gone] == "removed"
 
+    # NULL content must not masquerade as absence: a url present only in
+    # the old snapshot with NULL content is removed (not new), and a
+    # null→value transition is a change
+    o = spark.createDataFrame([("u1", None), ("u2", None), ("u3", "x")],
+                              "url string, text string")
+    n2 = spark.createDataFrame([("u2", "now"), ("u3", "x"), ("u4", None)],
+                               "url string, text string")
+    d = {r["url"]: r["change"]
+         for r in recrawl_diff(o, n2, key_col="url", content_col="text").collect()}
+    assert d == {"u1": "removed", "u2": "changed", "u4": "new"}
+
     # the refresh crawl fetches exactly the delta (seeds = new + changed)
     seeds = [r["url"] for r in recrawl_seeds(diff2).collect()]
     assert set(seeds) == (new_urls - old_urls) | {target}
@@ -510,6 +521,12 @@ def test_sitemap_locs(spark):
         ("https://h/s.xml", "https://h/amp&lt;kept"),
         ("https://h/s.xml", "https://h/b?x=1&y=2"),
     ]
+    # a bare colon-less 'sitemap' line in robots.txt must not become a url
+    from wss_spark.crawl.robots import parse_sitemaps
+    bare = spark.createDataFrame([("h3", "sitemap\nSitemap: https://h3/s.xml")],
+                                 "host string, robots_txt string")
+    assert [(r["host"], r["sitemap_url"]) for r in parse_sitemaps(bare).collect()] \
+        == [("h3", "https://h3/s.xml")]
 
 
 def test_parse_robots_fuzz_vs_interpreter(spark):

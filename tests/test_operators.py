@@ -535,6 +535,14 @@ def test_select_by_token_budget(spark):
     assert got_all == [1, 2, 3, 4, 5, 6]
     # budget smaller than the best doc -> empty
     assert corpus.select_by_token_budget(docs, 10).count() == 0
+    # exact-budget boundary: zero-token docs at the cutoff quality are
+    # admitted (the naive prefix keeps them at cum == budget)
+    z = spark.createDataFrame(
+        [(1, 0.9, 100), (2, 0.5, 0), (3, 0.5, 50), (4, 0.5, 0)],
+        "doc_id long, quality double, ws_tokens long")
+    got_z = sorted(r["doc_id"] for r in
+                   corpus.select_by_token_budget(z, 100).collect())
+    assert got_z == [1, 2]  # doc 4 sits after the overflowing doc 3
 
 
 def test_dedup_near_embeddings(spark):

@@ -653,15 +653,15 @@ _RECRAWL_MUT = "CASE WHEN doc_id % 5 = 0 THEN ' [rev2]' ELSE '' END"
 @_q(
     "t4_recrawl_diff",
     f"""
-    WITH o AS (SELECT doc_id, md5(text) AS oh
+    WITH o AS (SELECT doc_id, TRUE AS op, md5(text) AS oh
                FROM documents WHERE doc_id % 2 = 0),
-    n AS (SELECT doc_id, md5(text || {_RECRAWL_MUT}) AS nh
+    n AS (SELECT doc_id, TRUE AS np, md5(text || {_RECRAWL_MUT}) AS nh
           FROM documents WHERE doc_id % 3 <> 1)
     SELECT doc_id, change FROM (
       SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-             CASE WHEN oh IS NULL THEN 'new'
-                  WHEN nh IS NULL THEN 'removed'
-                  WHEN oh <> nh THEN 'changed'
+             CASE WHEN op IS NULL THEN 'new'
+                  WHEN np IS NULL THEN 'removed'
+                  WHEN oh IS DISTINCT FROM nh THEN 'changed'
                   ELSE 'unchanged' END AS change
       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
     WHERE change <> 'unchanged'

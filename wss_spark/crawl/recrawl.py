@@ -28,15 +28,19 @@ def recrawl_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
     content differs), and — only with ``include_unchanged`` — ``unchanged``.
     Content comparison is by md5 fingerprint so the join never carries the
     payload column past the scan."""
-    o = old.select(F.col(key_col).alias("k"),
+    # presence is its own flag: md5(NULL content) is NULL, so inferring
+    # presence from hash nullability would misclassify a null-payload row
+    # (e.g. a failed fetch stored with null html) as absent
+    o = old.select(F.col(key_col).alias("k"), F.lit(True).alias("_op"),
                    F.md5(F.col(content_col)).alias("_oh"))
-    n = new.select(F.col(key_col).alias("k"),
+    n = new.select(F.col(key_col).alias("k"), F.lit(True).alias("_np"),
                    F.md5(F.col(content_col)).alias("_nh"))
     j = o.join(n, "k", "full_outer")
     change = (
-        F.when(F.col("_oh").isNull(), F.lit("new"))
-        .when(F.col("_nh").isNull(), F.lit("removed"))
-        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        F.when(F.col("_op").isNull(), F.lit("new"))
+        .when(F.col("_np").isNull(), F.lit("removed"))
+        # null-safe compare: null→value or value→null is a content change
+        .when(~F.col("_oh").eqNullSafe(F.col("_nh")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     out = j.select(F.col("k").alias(key_col), change.alias("change"))

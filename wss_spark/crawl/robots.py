@@ -147,8 +147,12 @@ def parse_sitemaps(raw: DataFrame, host_col: str = "host",
             F.regexp_replace(
                 F.expr("substring(l, instr(l, ':') + 1)"),
                 r"^\s+|\s+$", "").alias("sitemap_url"),
+            # same no-colon guard as parse_robots: a bare line reading
+            # 'sitemap' must not become a bogus url row
+            F.col("l").contains(":").alias("_has_colon"),
         )
-        .filter((F.col("key") == "sitemap") & (F.col("sitemap_url") != ""))
+        .filter(F.col("_has_colon")
+                & (F.col("key") == "sitemap") & (F.col("sitemap_url") != ""))
         .select("host", "sitemap_url")
         .distinct()
     )

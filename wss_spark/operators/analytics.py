@@ -179,9 +179,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     if n == 0:
         e.unpersist(); nodes.unpersist()
         return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
+    # persisted: consumed TWICE per iteration (the dangling scalar and the
+    # contributions join) × n_iter — without the cache the degree
+    # aggregation re-runs ~2·n_iter times instead of once
     out_deg = e.groupBy(F.col("_s").alias("node")).agg(
         F.count("*").alias("_deg")
-    )
+    ).persist()
     init = scale // n
     # (1-d) * scale/N in exact integer form
     teleport = init - (init * damping_num // damping_den)
@@ -221,5 +224,5 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             .localCheckpoint(eager=True)
         )
         ranks = new
-    e.unpersist(); nodes.unpersist()
+    e.unpersist(); nodes.unpersist(); out_deg.unpersist()
     return ranks

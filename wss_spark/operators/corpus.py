@@ -27,8 +27,7 @@ from pyspark.sql import functions as F
 from wss_spark.operators import dedup, textstats
 
 
-def annotate(docs: DataFrame, id_col: str = "doc_id",
-             text_col: str = "text") -> DataFrame:
+def annotate(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """All input columns + (lang_pred, quality) as a zero-shuffle projection.
 
     Unlike joining :func:`textstats.lang_id` + :func:`textstats.quality_score`
@@ -68,7 +67,7 @@ def clean_corpus(docs: DataFrame, langs: Sequence[str] = ("en",),
     generation's input. Output carries the input columns + lang_pred +
     quality for the survivors.
     """
-    kept = annotate(docs, id_col, text_col).filter(
+    kept = annotate(docs, text_col).filter(
         F.col("lang_pred").isin(*langs) & (F.col("quality") >= min_quality)
     )
     # the exact-deduped survivors feed BOTH the shingle chain and the final
@@ -166,7 +165,9 @@ def select_by_token_budget(docs: DataFrame, budget_tokens: int,
         kept = whole.filter(q >= F.lit(full_above))
     else:
         kept = whole.filter(F.lit(False))
-    if cutoff_q is not None and residual > 0:
+    # residual == 0 still admits boundary docs with zero tokens (cum 0 ≤ 0)
+    # — the naive prefix (WHERE cum <= budget) keeps them, so we must too
+    if cutoff_q is not None:
         boundary = (
             whole.filter(q == F.lit(cutoff_q))
             .withColumn(

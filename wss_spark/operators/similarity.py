@@ -461,10 +461,20 @@ def dedup_near_embeddings(emb: DataFrame, threshold: float = 0.9,
     from wss_spark.operators.dedup import dedup_by_clusters, dup_clusters
 
     if dim is None:
-        first = emb.select(F.size(vec_col).alias("d")).first()
+        # probe only non-null embeddings: size(NULL) is -1/NULL and would
+        # silently degenerate the SRP plane generation
+        first = (
+            emb.filter(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("d")).first()
+        )
         if first is None:
             return emb
         dim = first["d"]
+        if dim is None or dim <= 0:
+            raise ValueError(
+                "dedup_near_embeddings: could not probe a positive embedding "
+                "width — pass dim explicitly"
+            )
     cands = srp_candidates(emb, dim=dim, n_planes=n_planes,
                            n_tables=n_tables, id_col=id_col, vec_col=vec_col)
     pairs = embedding_near_pairs(emb, threshold, candidates=cands,
