@@ -121,6 +121,22 @@ def test_degenerate_rng_raises_instead_of_spinning():
             raise AssertionError("expected ValueError")
 
 
+def test_slow_rng_that_barely_suffices_succeeds():
+    """An rng yielding ONE nonzero byte per draw must still succeed while
+    the 64-draw bound covers the need — the sufficiency check runs after
+    each draw, so material gathered on the final draw counts."""
+    n, _, d = _keypair()
+    pub = format(n, "x")
+    calls = [0]
+
+    def one_byte_rng(k):
+        calls[0] += 1
+        return b"\x00" * (k - 1) + b"\x07"
+
+    ct = auth.rsa_encrypt_hex(b"pw", pub, rng=one_byte_rng)
+    assert int(ct, 16) and calls[0] <= 64  # need = k-3-2 = 59 draws here
+
+
 def test_login_postdata_field_parity():
     n, _, _ = _keypair()
     server_data = {"servertime": 111, "nonce": "NNN", "rsakv": "kv",

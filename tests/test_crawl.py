@@ -413,6 +413,61 @@ def test_parse_robots_handcrafted_edges(spark):
     assert got == [("/private", False, 7), ("/public", True, None)]
 
 
+def test_crawl_delay_longer_than_wave(spark, tmp_path, crawl_world):
+    """A declared delay LONGER than a wave gates the host to every Nth wave
+    (period = ceil(delay/wave_seconds)) instead of being clamped to one
+    fetch per wave — engine and simulator must agree on the resulting
+    order and seen set, and the hot host must appear only on its on-waves."""
+    pages = build_pages_df(spark, 3, seed=42)
+    page_map = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    seeds = seed_list(3, seed=42)
+    robots = spark.createDataFrame(
+        [("weibo.cn", "/", True, 60)],  # period = ceil(60/30) = 2
+        "host string, path_prefix string, allowed boolean, crawl_delay int",
+    )
+    max_waves = 8  # truncated horizon: equivalence on the prefix
+    cfg = CrawlConfig(
+        budget=BUDGET, n_buckets=N_BUCKETS, m_bits=M_BITS, wave_seconds=30.0,
+        max_waves=max_waves, checkpoint_dir=str(tmp_path / "longdelay"),
+    )
+    res = run_crawl(spark, pages, seeds, cfg, robots=robots)
+    sim_order, sim_seen = simulate(
+        page_map, seeds, BUDGET, max_waves=max_waves,
+        crawl_delays={"weibo.cn": 60.0}, wave_seconds=30.0,
+    )
+    assert visit_order(res.fetch_log) == sim_order
+    assert {r[0] for r in res.seen.select("canon_url").collect()} == sim_seen
+    hot = res.fetch_log.filter(F.col("host") == "weibo.cn")
+    hot_waves = sorted(r["wave"] for r in hot.select("wave").distinct().collect())
+    assert hot_waves and all(w % 2 == 0 for w in hot_waves)
+    assert any(w > 0 for w in hot_waves)  # the gate actually spans waves
+    # the per-wave cap on on-waves is 1 (floor(30/60)=0 clamped to 1)
+    per_wave = [r["n"] for r in
+                hot.groupBy("wave").agg(F.count("*").alias("n")).collect()]
+    assert max(per_wave) == 1
+
+
+def test_fresh_crawl_in_reused_checkpoint_dir(spark, tmp_path, crawl_world):
+    """A FRESH (resume=False) crawl into a checkpoint_dir holding a previous
+    crawl's committed seen segments must wipe them: stale segments serve
+    reads for their whole wave range and would shadow the new crawl's
+    rewritten wave dirs, poisoning the exact seen set."""
+    import os
+
+    d = str(tmp_path / "reused")
+    cfg = CrawlConfig(budget=BUDGET, n_buckets=N_BUCKETS, m_bits=M_BITS,
+                      checkpoint_every=2, checkpoint_dir=d)
+    first = run_crawl(spark, crawl_world["pages"], crawl_world["seeds"], cfg)
+    assert os.path.isdir(os.path.join(d, "seen_segments"))  # segments committed
+    # materialize BEFORE the rerun: the fresh crawl wipes the dir's state,
+    # which (as with any overwrite) invalidates the old result's lazy frames
+    first_order = visit_order(first.fetch_log)
+    first_seen = {r[0] for r in first.seen.select("canon_url").collect()}
+    second = run_crawl(spark, crawl_world["pages"], crawl_world["seeds"], cfg)
+    assert visit_order(second.fetch_log) == first_order
+    assert {r[0] for r in second.seen.select("canon_url").collect()} == first_seen
+
+
 def test_recrawl_diff_and_refresh_seeds(spark):
     """Incremental re-crawl: diffing two snapshot generations classifies
     added urls as new and mutated payloads as changed; the derived seed

@@ -97,11 +97,12 @@ def _pkcs1_v15_pad(message: bytes, k: int,
     ps = b""
     # bounded: a degenerate injected rng (all zeros, or empty output) must
     # raise, not spin the driver forever. 64 draws of k bytes each is
-    # astronomically more than enough for any real generator.
+    # astronomically more than enough for any real generator. The check
+    # runs AFTER each draw so material gathered on the final draw counts.
     for _ in range(64):
+        ps += bytes(b for b in rng(k) if b != 0)
         if len(ps) >= need:
             break
-        ps += bytes(b for b in rng(k) if b != 0)
     else:
         raise ValueError(
             "rng produced too few nonzero bytes for PKCS#1 v1.5 padding"

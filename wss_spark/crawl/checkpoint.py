@@ -107,6 +107,28 @@ def read_state(spark: SparkSession, root: str, wave: int):
 # ---------------------------------------------------------------------------
 
 
+def has_state(root: str) -> bool:
+    """Any committed engine state under ``root`` (snapshots, seen keys or
+    segments, logs) from a previous crawl?"""
+    return any(
+        os.path.isdir(os.path.join(root, d))
+        for d in ("snapshots", "seen_keys", "seen_segments", "logs")
+    )
+
+
+def reset_state(root: str) -> None:
+    """Remove the engine-owned state subdirectories so a FRESH crawl into a
+    reused checkpoint_dir starts from nothing. Without this, committed seen
+    SEGMENTS from the previous crawl outlive the new crawl's per-wave
+    overwrites (segments serve reads for their whole wave range, shadowing
+    the rewritten wave dirs) and poison the exact seen set. Only the
+    engine's own layout is touched — never the rest of ``root``."""
+    import shutil
+
+    for d in ("snapshots", "seen_keys", "seen_segments", "logs"):
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
 def _seen_root(root: str) -> str:
     return os.path.join(root, "seen_keys")
 

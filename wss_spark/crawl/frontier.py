@@ -219,8 +219,22 @@ def run_crawl(
             hb = hb.localCheckpoint(eager=True)
             if hb.isEmpty():
                 hb = None
+    # any host gated to every Nth wave (declared delay > wave_seconds)?
+    # such hosts make legitimate all-deferred waves — the loop must tick
+    # through them instead of treating empty admission as a stop condition
+    hb_has_periods = (
+        hb is not None and not hb.filter(F.col("host_period") > 1).isEmpty()
+    )
 
     snap = checkpoint.latest_snapshot(root) if resume else None
+    if not resume and checkpoint.has_state(root):
+        # fresh crawl into a reused checkpoint_dir: wipe the engine-owned
+        # state subdirs. Per-wave dirs would be overwritten anyway, but
+        # committed seen SEGMENTS from the old crawl serve reads for their
+        # whole wave range and would shadow the new crawl's rewritten
+        # waves — silently wrong seen semantics (old URLs never fetched,
+        # new early-wave URLs re-admitted).
+        checkpoint.reset_state(root)
     if snap is not None:
         frontier, bloom_state = checkpoint.read_state(spark, root, snap.wave)
         wave = snap.wave + 1
@@ -323,6 +337,7 @@ def run_crawl(
             admitted, deferred = split_by_budget(
                 allowed, cfg.budget, cfg.n_salts,
                 host_budget=hb, broadcast_admitted=cfg.broadcast_admitted,
+                wave=wave,
             )
         admitted = admitted.persist()
         n_admitted = admitted.count()
@@ -501,8 +516,11 @@ def run_crawl(
         old_bloom = bloom_state
         frontier, bloom_state = next_frontier, bloom_next
         old_bloom.unpersist()
-        if n_admitted == 0 and n_frontier > 0:
-            break  # everything left is blocked/unseen-able; avoid spinning
+        # everything left is blocked/unseen-able; avoid spinning. With
+        # period-gated hosts an empty wave is a legitimate wait (bounded by
+        # max_waves), so the loop ticks on instead of stopping
+        if n_admitted == 0 and n_frontier > 0 and not hb_has_periods:
+            break
         wave += 1
 
     # terminal snapshot so a completed (or max_waves-cut) crawl resumes from

@@ -49,6 +49,15 @@ def host_budgets(robots: DataFrame, budget: int,
     8 s, `独立版/WeiboLikeSpider.py:86`, vs 3 s,
     `独立版/WeiboComPostSpider.py:51`).
 
+    Delays LONGER than a wave are honored too (they cannot fit inside one
+    wave's budget): such a host gets ``host_budget = 1`` plus a
+    ``host_period = ceil(delay / wave_seconds)`` and is admitted only on
+    waves where ``wave % host_period == 0`` (a pure function of (host,
+    wave) — stateless, deterministic, simulator-replicable; off-wave urls
+    simply defer to the next wave via split_by_budget). Without the
+    period, a host declaring Crawl-delay 300 under 30-second waves would
+    be fetched every wave — 10× its declared rate.
+
     Only hosts with a declared POSITIVE delay are emitted — everyone else
     (no robots row, null delay, or the real-world ``Crawl-delay: 0`` meaning
     "no delay") defaults to the global budget at the join (tiny control-plane
@@ -67,6 +76,10 @@ def host_budgets(robots: DataFrame, budget: int,
                     F.lit(1), F.floor(F.lit(float(wave_seconds)) / F.col("_delay"))
                 ),
             ).cast("int").alias("host_budget"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("_delay") / F.lit(float(wave_seconds))),
+            ).cast("int").alias("host_period"),
         )
     )
 
@@ -74,7 +87,8 @@ def host_budgets(robots: DataFrame, budget: int,
 def per_host_topk(frontier: DataFrame, budget: int, n_salts: int = 32,
                   order_cols: list[str] | None = None,
                   host_col: str = "host",
-                  host_budget: DataFrame | None = None) -> DataFrame:
+                  host_budget: DataFrame | None = None,
+                  wave: int = 0) -> DataFrame:
     """Admit ≤ ``budget`` rows per host this wave (or the host's own
     ``host_budget`` when given — see :func:`host_budgets`); adds
     ``host_rank``.
@@ -102,17 +116,26 @@ def per_host_topk(frontier: DataFrame, budget: int, n_salts: int = 32,
     # host_budgets always emits the column name 'host'; align it with the
     # caller's host_col so a non-default frontier host column still joins
     hb = host_budget.withColumnRenamed("host", host_col)
+    if "host_period" not in hb.columns:  # pre-period callers
+        hb = hb.withColumn("host_period", F.lit(1))
+    # a host whose declared delay exceeds wave_seconds (host_period > 1)
+    # admits only on its on-waves (wave % period == 0); off-wave rows
+    # defer to the next wave via split_by_budget's anti-join
+    on_wave = F.coalesce("host_period", F.lit(1)) <= 1
+    on_wave = on_wave | (F.lit(wave) % F.col("host_period") == 0)
     return (
         ranked.join(F.broadcast(hb), on=host_col, how="left")
-        .filter(F.col("host_rank") <= F.coalesce("host_budget", F.lit(budget)))
-        .drop("host_budget")
+        .filter(on_wave
+                & (F.col("host_rank") <= F.coalesce("host_budget", F.lit(budget))))
+        .drop("host_budget", "host_period")
     )
 
 
 def split_by_budget(frontier: DataFrame, budget: int, n_salts: int = 32,
                     order_cols: list[str] | None = None,
                     host_budget: DataFrame | None = None,
-                    broadcast_admitted: bool = True) -> tuple[DataFrame, DataFrame]:
+                    broadcast_admitted: bool = True,
+                    wave: int = 0) -> tuple[DataFrame, DataFrame]:
     """(admitted, deferred): deferred rows re-enter the next wave unchanged.
 
     Deferred is computed as an anti-join on canon_url (a key) so the two
@@ -129,7 +152,7 @@ def split_by_budget(frontier: DataFrame, budget: int, n_salts: int = 32,
     instead of failing the wave (ADVICE r03 #1).
     """
     admitted = per_host_topk(frontier, budget, n_salts, order_cols,
-                             host_budget=host_budget)
+                             host_budget=host_budget, wave=wave)
     keys = admitted.select("canon_url")
     if broadcast_admitted:
         keys = F.broadcast(keys)

@@ -134,16 +134,26 @@ def simulate(
     engine's fetch-log shape, used as the crawl_fetch_log oracle.
 
     ``crawl_delays`` maps host → declared robots crawl_delay: that host's
-    per-wave cap becomes min(budget, max(1, floor(wave_seconds / delay))) —
-    the same rule as politeness.host_budgets, kept independent so the two
+    per-wave cap becomes min(budget, max(1, floor(wave_seconds / delay))),
+    and a delay LONGER than a wave additionally gates the host to waves
+    where ``wave % ceil(delay / wave_seconds) == 0`` — the same rules as
+    politeness.host_budgets/per_host_topk, kept independent so the two
     implementations cross-check each other."""
+    import math
+
     blocked_rules = robots_blocked_prefixes or []
     delays = crawl_delays or {}
+    has_periods = any(
+        d and d > 0 and math.ceil(d / wave_seconds) > 1 for d in delays.values()
+    )
 
-    def host_cap(h: str) -> int:
+    def host_cap(h: str, wave: int) -> int:
         d = delays.get(h)
         if d is None or d <= 0:  # absent / null / "Crawl-delay: 0" = no cap
             return budget
+        period = max(1, math.ceil(d / wave_seconds))
+        if period > 1 and wave % period != 0:
+            return 0  # off-wave: the host's urls defer to the next wave
         return min(budget, max(1, int(wave_seconds // d)))
 
     def is_blocked(canon: str) -> bool:
@@ -179,7 +189,7 @@ def simulate(
         admitted, deferred = [], []
         for r in allowed:
             h = _host(r[4])
-            if taken_per_host.get(h, 0) < host_cap(h):
+            if taken_per_host.get(h, 0) < host_cap(h, wave):
                 taken_per_host[h] = taken_per_host.get(h, 0) + 1
                 admitted.append(r)
             else:
@@ -210,7 +220,10 @@ def simulate(
             for cstage, cpage, curl in _discover(url, html, now, frontier_page=page):
                 nxt.append((prio, seed_order, cstage, cpage, canonicalize(curl), curl))
         frontier = deferred + nxt
-        if not admitted and deferred:
+        if not admitted and deferred and not has_periods:
+            # with period-gated hosts an all-deferred wave just means every
+            # remaining host is off-wave — tick forward (bounded by
+            # max_waves) until the next on-wave
             break
         wave += 1
     return order, seen

@@ -209,10 +209,13 @@ def run_sync(tracker: JobTracker, request_info: dict, fn,
     tracker.update(task_id, "running", 50, "sync analysis running")
     try:
         result = fn()
+        # inside the try: a non-JSON-serializable result makes complete()'s
+        # json.dumps raise, and that too must land the task in 'failed'
+        # rather than leaving it 'running' forever
+        tracker.complete(task_id, result)
     except Exception as exc:  # the reference's HTTP-500 branch (`:384`)
         tracker.fail(task_id, f"{type(exc).__name__}: {exc}")
         raise
-    tracker.complete(task_id, result)
     return {"task_id": task_id, "status": "completed", "result": result}
 
 

@@ -320,7 +320,12 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
 
     Each round is ``localCheckpoint``-ed (eager) so the plan stays flat
     across iterations, and convergence is checked by counting changed
-    labels — the loop exits at fixpoint, bounded by ``max_iter``. Only
+    labels — the loop exits at fixpoint, bounded by ``max_iter``. Each
+    round rebinds ``labels``, dropping the only Python reference to the
+    previous round's checkpointed frame — CPython refcounting releases it
+    immediately and Spark's ContextCleaner reclaims the blocks
+    asynchronously, so live checkpoint storage is ~O(1) rounds, not
+    O(max_iter) (cleaner lag bounds the transient overlap). Only
     nodes that appear in ``pairs`` are emitted; unpaired documents are
     implicitly their own singleton (see :func:`dedup_by_clusters`).
     """
