@@ -622,3 +622,66 @@ def test_jaccard_candidate_restriction_matches_full(spark):
     assert noisy_got == got
     sh.unpersist()
     sh.unpersist()
+
+
+def test_word_repetition_hand_checked(spark):
+    docs = _docs(spark, [
+        "a b a b a",        # 5 words, 2 distinct; top 'a'=3; bigrams: ab ba ab ba → 2 dup
+        "x y z",            # all distinct, no dup bigrams
+        "",                 # empty → zero guards
+        "solo",             # 1 word → no bigrams
+    ])
+    rows = {r["doc_id"]: r for r in textstats.word_repetition(docs).collect()}
+    assert rows[0]["n_words"] == 5
+    assert rows[0]["distinct_word_frac"] == 2 / 5
+    assert rows[0]["top_word_frac"] == 3 / 5
+    assert rows[0]["dup_bigram_frac"] == 2 / 4
+    assert rows[1]["top_word_frac"] == 1 / 3
+    assert rows[1]["dup_bigram_frac"] == 0.0
+    assert rows[2]["n_words"] == 0 and rows[2]["top_word_frac"] == 0.0
+    assert rows[3]["n_words"] == 1 and rows[3]["dup_bigram_frac"] == 0.0
+
+
+def test_line_shape_hand_checked(spark):
+    text = "\n".join([
+        "- first bullet",
+        "- first bullet",        # duplicate bullet line (13 chars each... '- first bullet'=14)
+        "plain line here.",
+        "trailing dots e...",
+        "  ",                    # blank after trim → dropped
+        'quoted line"',
+    ])
+    docs = _docs(spark, [text])
+    r = textstats.line_shape_stats(docs).collect()[0]
+    assert r["n_lines"] == 5
+    assert r["dup_line_frac"] == 1 / 5          # 5 lines, 4 distinct
+    dup_chars = 2 * len("- first bullet")
+    total = 2 * len("- first bullet") + len("plain line here.") + len("trailing dots e...") + len('quoted line"')
+    assert r["dup_line_char_frac"] == dup_chars / total
+    assert r["bullet_line_frac"] == 2 / 5
+    assert r["ellipsis_line_frac"] == 1 / 5
+    assert r["term_punct_line_frac"] == 3 / 5   # '.', '...', '"'
+
+
+def test_gopher_filter_matches_independent_oracle(spark):
+    from wss_spark import synth
+    docs = spark.createDataFrame(
+        synth.render_lineshape_docs(64, seed=7), "doc_id int, text string"
+    )
+    got = {r["doc_id"]: (r["keep"], r["reject_reason"])
+           for r in textstats.gopher_filter(docs).collect()}
+    exp = {d: (k, why) for d, k, why in synth.expected_gopher_filter(64, seed=7)}
+    assert got == exp
+    # every branch of the rule ladder is exercised at n=64
+    assert {why for _, why in exp.values()} == {
+        "kept", "too_few_words", "mean_word_len", "bullet_lines",
+        "ellipsis_lines", "dup_lines", "alpha_words", "stopwords",
+    }
+
+
+def test_gopher_filter_thresholds_are_parameters(spark):
+    docs = _docs(spark, ["the data be good " * 20])  # 80 words, stopwords ok
+    strict = textstats.gopher_filter(docs, min_words=100).collect()[0]
+    assert (strict["keep"], strict["reject_reason"]) == (False, "too_few_words")
+    lax = textstats.gopher_filter(docs, min_words=10).collect()[0]
+    assert lax["keep"] is True and lax["reject_reason"] == "kept"

@@ -1749,6 +1749,86 @@ def ts_fingerprint(spark, sf):
     return textstats.fingerprint(_t(spark, sf, "documents"))
 
 
+_WORD_REP_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id, ws, list_distinct(ws) AS uniq,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bg
+  FROM w
+)
+SELECT doc_id,
+  len(ws) AS n_words,
+  CASE WHEN len(ws) > 0
+       THEN CAST(len(uniq) AS DOUBLE) / len(ws) ELSE 0.0 END
+    AS distinct_word_frac,
+  CASE WHEN len(ws) > 0
+       THEN CAST(list_max(list_transform(uniq,
+              u -> len(list_filter(ws, x -> x = u)))) AS DOUBLE) / len(ws)
+       ELSE 0.0 END AS top_word_frac,
+  CASE WHEN len(bg) > 0
+       THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+       ELSE 0.0 END AS dup_bigram_frac
+FROM s
+"""
+
+
+@_q("ts_word_repetition", _WORD_REP_SQL)
+def ts_word_repetition(spark, sf):
+    """Word-level repetition signals (type-token ratio, top-word mass,
+    duplicated-bigram fraction) over the documents corpus. The DuckDB side
+    mirrors the array math with list lambdas; every fraction is one exact
+    int/int division, so the doubles are bit-identical with no rounding."""
+    return textstats.word_repetition(_t(spark, sf, "documents"))
+
+
+_N_LINESHAPE_DOCS = 64
+
+
+@_q(
+    "ts_line_shape",
+    _values_table(
+        synth.expected_line_shape(_N_LINESHAPE_DOCS),
+        [("doc_id", "INTEGER"), ("n_lines", "INTEGER"),
+         ("dup_line_frac", "DOUBLE"), ("dup_line_char_frac", "DOUBLE"),
+         ("bullet_line_frac", "DOUBLE"), ("ellipsis_line_frac", "DOUBLE"),
+         ("term_punct_line_frac", "DOUBLE")],
+    ),
+)
+def ts_line_shape(spark, sf):
+    """Line-level repetition/shape stats (Gopher duplicate-line filters +
+    C4 bullet/ellipsis/terminal-punct rules) over a deterministic multi-line
+    corpus; the oracle is synth.expected_line_shape — an independent
+    Counter-based imperative replica rendered as VALUES."""
+    docs = spark.createDataFrame(
+        synth.render_lineshape_docs(_N_LINESHAPE_DOCS),
+        "doc_id int, text string",
+    )
+    return textstats.line_shape_stats(docs)
+
+
+@_q(
+    "llm_gopher_filter",
+    _values_table(
+        synth.expected_gopher_filter(_N_LINESHAPE_DOCS),
+        [("doc_id", "INTEGER"), ("keep", "BOOLEAN"),
+         ("reject_reason", "VARCHAR")],
+    ),
+)
+def llm_gopher_filter(spark, sf):
+    """The Gopher quality-rule ladder (keep/reject + first-failing-rule
+    reason) over the same corpus — all 8 reject branches and the kept branch
+    are exercised (8 docs each at 64). Oracle: synth.expected_gopher_filter,
+    an independent imperative implementation of the same documented rules."""
+    docs = spark.createDataFrame(
+        synth.render_lineshape_docs(_N_LINESHAPE_DOCS),
+        "doc_id int, text string",
+    )
+    return textstats.gopher_filter(docs)
+
+
 # ===========================================================================
 # page-family extraction gates (round 2): the DuckDB side is either a
 # record-level replay of the synthetic model (VALUES — the Spark side parses
@@ -2686,6 +2766,14 @@ _DEMOTED = [
     # and its components (ts_quality, ts_token_counts shapes) are carried
     # in-window
     "llm_token_budget",
+    # r04j: the Gopher/C4 repetition-quality tier, registered demoted FROM
+    # BIRTH for the same reason as llm_token_budget — oracle coverage lives
+    # in the tools/check_oracle.py re-run recorded in BASELINE.md
+    # (ts_word_repetition: DuckDB list-lambda mirror; ts_line_shape /
+    # llm_gopher_filter: independent imperative VALUES replicas)
+    "ts_word_repetition",
+    "ts_line_shape",
+    "llm_gopher_filter",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the

@@ -131,3 +131,197 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     usable as a stable shard key for content-addressed storage."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition / line-shape quality signals (Gopher-style web-text filtering:
+# Rae et al. 2021 appendix A1.1; C4 line rules: Raffel et al. 2020 §2.2).
+# Everything below is row-local array math — a narrow pipeline with NO
+# shuffle, so at 100 TB it scales embarrassingly with executors. The per-row
+# cost of the occurrence counts is O(distinct × total) over one document's
+# words/lines — bounded by document length, not data volume. The reference's
+# analog is its per-post content cleanup before CSV export
+# (独立版/(using)WeiboUserScrapy.py:447-456 keep-first dedup +
+# weibo_util text normalizers); these operators generalize that to the
+# published web-corpus quality rules.
+#
+# Cross-engine note: every fraction is a SINGLE division of two exact
+# integers, so Spark and DuckDB produce bit-identical doubles with no
+# rounding step (see catalog ts_word_repetition / ts_line_shape oracles).
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _words_col(text: Column) -> Column:
+    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+
+
+def _lines_col(text: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def word_repetition(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, distinct_word_frac, top_word_frac, dup_bigram_frac):
+    word-level repetition signals — type-token ratio, most-frequent-word
+    mass, and duplicated-bigram fraction (the word-granularity analog of
+    Gopher's duplicate n-gram filters).
+
+    Two-projection form: the split array is materialized as a column before
+    the higher-order expressions reference it (no CSE across lambda
+    boundaries — see lang_id's note)."""
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _words_col(F.col(text_col)).alias("_ws"),
+    )
+    w = F.col("_ws")
+    n = F.size(w)
+    nm1 = F.greatest(n - 1, F.lit(0))
+    staged = staged.select(
+        "doc_id", "_ws",
+        F.array_distinct(w).alias("_uniq"),
+        F.zip_with(
+            F.slice(w, 1, nm1), F.slice(w, 2, nm1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ).alias("_bg"),
+    )
+    n = F.size(F.col("_ws"))
+    nb = F.size(F.col("_bg"))
+    top = F.array_max(
+        F.transform(
+            F.col("_uniq"),
+            lambda u: F.size(F.filter(F.col("_ws"), lambda x: x == u)),
+        )
+    )
+    return staged.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.when(n > 0, F.size(F.col("_uniq")).cast("double") / n)
+         .otherwise(F.lit(0.0)).alias("distinct_word_frac"),
+        F.when(n > 0, top.cast("double") / n)
+         .otherwise(F.lit(0.0)).alias("top_word_frac"),
+        F.when(nb > 0,
+               (nb - F.size(F.array_distinct(F.col("_bg")))).cast("double") / nb)
+         .otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+    )
+
+
+def line_shape_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, dup_line_char_frac, bullet_line_frac,
+    ellipsis_line_frac, term_punct_line_frac): per-document line-level
+    repetition and shape signals over trimmed non-empty lines — the Gopher
+    duplicate-line filters plus the C4 bullet/ellipsis/terminal-punctuation
+    line rules, as row-local array expressions."""
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _lines_col(F.col(text_col)).alias("_ls"),
+    )
+    ls = F.col("_ls")
+    n = F.size(ls)
+    zero = F.lit(0).cast("long")
+    total_chars = F.aggregate(ls, zero, lambda a, x: a + F.length(x))
+    dup_chars = F.aggregate(
+        ls, zero,
+        lambda a, x: a + F.when(
+            F.size(F.filter(ls, lambda y: y == x)) > 1, F.length(x)
+        ).otherwise(F.lit(0)),
+    )
+    n_bullet = F.size(F.filter(
+        ls, lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("• ")))
+    n_ellipsis = F.size(F.filter(
+        ls, lambda l: l.endswith("...") | l.endswith("…")))
+    n_term = F.size(F.filter(
+        ls, lambda l: l.endswith(".") | l.endswith("!") | l.endswith("?")
+        | l.endswith('"')))
+    frac = lambda num: F.when(n > 0, num.cast("double") / n).otherwise(F.lit(0.0))
+    return staged.select(
+        "doc_id",
+        n.alias("n_lines"),
+        frac(n - F.size(F.array_distinct(ls))).alias("dup_line_frac"),
+        F.when(total_chars > 0, dup_chars.cast("double") / total_chars)
+         .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+        frac(n_bullet).alias("bullet_line_frac"),
+        frac(n_ellipsis).alias("ellipsis_line_frac"),
+        frac(n_term).alias("term_punct_line_frac"),
+    )
+
+
+def gopher_filter(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", *,
+                  min_words: int = 50, max_words: int = 100_000,
+                  min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
+                  max_bullet_frac: float = 0.9, max_ellipsis_frac: float = 0.3,
+                  max_dup_line_frac: float = 0.3,
+                  max_dup_line_char_frac: float = 0.2,
+                  min_alpha_word_frac: float = 0.8,
+                  min_stopwords: int = 2) -> DataFrame:
+    """(doc_id, keep, reject_reason): the Gopher quality-filter rule ladder
+    (Rae et al. 2021 A1.1 defaults), first failing rule wins, in the
+    documented order: too_few_words, too_many_words, mean_word_len,
+    bullet_lines, ellipsis_lines, dup_lines, dup_line_chars, alpha_words,
+    stopwords, else 'kept'. The independent imperative replica is
+    synth.expected_gopher_filter (VALUES oracle)."""
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _words_col(F.col(text_col)).alias("_ws"),
+        _lines_col(F.col(text_col)).alias("_ls"),
+    )
+    w, ls = F.col("_ws"), F.col("_ls")
+    zero = F.lit(0).cast("long")
+    n_l = F.size(ls)
+    total_chars = F.aggregate(ls, zero, lambda a, x: a + F.length(x))
+    dup_chars = F.aggregate(
+        ls, zero,
+        lambda a, x: a + F.when(
+            F.size(F.filter(ls, lambda y: y == x)) > 1, F.length(x)
+        ).otherwise(F.lit(0)),
+    )
+    stats = staged.select(
+        "doc_id",
+        F.size(w).alias("_nw"),
+        F.aggregate(w, zero, lambda a, x: a + F.length(x)).alias("_wchars"),
+        F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))).alias("_nalpha"),
+        F.size(F.array_intersect(
+            F.transform(w, lambda x: F.lower(x)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )).alias("_nstop"),
+        n_l.alias("_nl"),
+        F.when(n_l > 0,
+               (n_l - F.size(F.array_distinct(ls))).cast("double") / n_l)
+         .otherwise(F.lit(0.0)).alias("_dupf"),
+        F.when(total_chars > 0, dup_chars.cast("double") / total_chars)
+         .otherwise(F.lit(0.0)).alias("_dupcf"),
+        F.when(n_l > 0, F.size(F.filter(
+            ls, lambda l: l.startswith("- ") | l.startswith("* ")
+            | l.startswith("• "))).cast("double") / n_l)
+         .otherwise(F.lit(0.0)).alias("_bulletf"),
+        F.when(n_l > 0, F.size(F.filter(
+            ls, lambda l: l.endswith("...") | l.endswith("…")))
+            .cast("double") / n_l)
+         .otherwise(F.lit(0.0)).alias("_ellipf"),
+    )
+    nw = F.col("_nw")
+    mean_wl = F.when(nw > 0, F.col("_wchars").cast("double") / nw).otherwise(F.lit(0.0))
+    alpha = F.when(nw > 0, F.col("_nalpha").cast("double") / nw).otherwise(F.lit(0.0))
+    reason = (
+        F.when(nw < min_words, F.lit("too_few_words"))
+        .when(nw > max_words, F.lit("too_many_words"))
+        .when((mean_wl < min_mean_wl) | (mean_wl > max_mean_wl),
+              F.lit("mean_word_len"))
+        .when(F.col("_bulletf") > max_bullet_frac, F.lit("bullet_lines"))
+        .when(F.col("_ellipf") > max_ellipsis_frac, F.lit("ellipsis_lines"))
+        .when(F.col("_dupf") > max_dup_line_frac, F.lit("dup_lines"))
+        .when(F.col("_dupcf") > max_dup_line_char_frac, F.lit("dup_line_chars"))
+        .when(alpha < min_alpha_word_frac, F.lit("alpha_words"))
+        .when(F.col("_nstop") < min_stopwords, F.lit("stopwords"))
+        .otherwise(F.lit("kept"))
+    )
+    return stats.select(
+        "doc_id",
+        (reason == "kept").alias("keep"),
+        reason.alias("reject_reason"),
+    )

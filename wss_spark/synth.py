@@ -1335,3 +1335,166 @@ def expected_pagerank(n_nodes: int, seed: int = 42, damping_num: int = 85,
             for v in nodes
         }
     return sorted(rank.items())
+
+
+# ---------------------------------------------------------------------------
+# Line-shape / Gopher-filter corpus (textstats.line_shape_stats /
+# gopher_filter oracles — independent imperative replicas rendered as VALUES)
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_LS_VOCAB = [
+    "market", "signal", "window", "vector", "stream", "filter",
+    "sample", "corpus", "tokens", "models", "metric", "buffer",
+]
+_LS_LONG = [
+    "internationalization", "disproportionately", "characterization",
+    "incomprehensibility", "misinterpretation",
+]
+_LS_SYMBOL = ["###", "$$$", "%%%", "12345", "!!!", "===", "+++"]
+
+
+def _ls_prose_line(r, i: int, n_words: int | None = None) -> str:
+    """Distinct prose line with >=2 distinct Gopher stopwords, ends '.'."""
+    n = n_words if n_words is not None else r.randint(8, 14)
+    ws = ["the", r.choice(_LS_VOCAB), "with", r.choice(_LS_VOCAB)]
+    ws += [r.choice(_LS_VOCAB) for _ in range(max(0, n - 5))]
+    ws.append(f"item{i}")
+    return " ".join(ws) + "."
+
+
+def render_lineshape_docs(n_docs: int, seed: int = 42) -> list[tuple[int, str]]:
+    """(doc_id, text) multi-line docs cycling through 8 scenarios, one per
+    Gopher-rule branch (kept / bullets / ellipses / duplicate lines / too
+    short / symbol words / no stopwords / over-long words)."""
+    docs: list[tuple[int, str]] = []
+    for d in range(n_docs):
+        r = _rng(seed, d, 71)
+        kind = d % 8
+        if kind == 0:  # clean keep
+            lines = [_ls_prose_line(r, i) for i in range(r.randint(6, 9))]
+        elif kind == 1:  # bullet-heavy (12/13 = 0.923 > 0.9)
+            lines = [
+                "- " + " ".join(r.choice(_LS_VOCAB) for _ in range(6)) + f" b{i}"
+                for i in range(12)
+            ] + [_ls_prose_line(r, 99)]
+        elif kind == 2:  # ellipsis-heavy (4/10 = 0.4 > 0.3)
+            lines = [_ls_prose_line(r, i) for i in range(6)]
+            lines += [
+                " ".join(r.choice(_LS_VOCAB) for _ in range(7)) + f" e{i}" + "..."
+                for i in range(4)
+            ]
+        elif kind == 3:  # duplicated lines (5 copies + 5 distinct: 4/10 > 0.3)
+            dup = _ls_prose_line(r, 0)
+            lines = [dup] * 5 + [_ls_prose_line(r, i + 1) for i in range(5)]
+        elif kind == 4:  # too short (8 words < 50)
+            lines = [_ls_prose_line(r, i, n_words=4) for i in range(2)]
+        elif kind == 5:  # symbol words (alpha frac ~0.5 < 0.8)
+            lines = [
+                " ".join(
+                    (r.choice(_LS_SYMBOL) if j % 2 == 0 else r.choice(_LS_VOCAB))
+                    for j in range(10)
+                )
+                + f" s{i}"
+                for i in range(7)
+            ]
+        elif kind == 6:  # no stopwords (reaches the stopword rule)
+            lines = [
+                " ".join(r.choice(_LS_VOCAB) for _ in range(9)) + f" n{i}."
+                for i in range(7)
+            ]
+        else:  # kind == 7: over-long words (mean length > 10)
+            lines = [
+                " ".join(r.choice(_LS_LONG) for _ in range(9)) + f" w{i}"
+                for i in range(7)
+            ]
+        docs.append((d, "\n".join(lines)))
+    return docs
+
+
+def _ls_lines(text: str) -> list[str]:
+    return [s for s in (ln.strip() for ln in text.split("\n")) if s != ""]
+
+
+def expected_line_shape(n_docs: int, seed: int = 42) -> list[tuple]:
+    """Imperative (Counter-based) replica of textstats.line_shape_stats —
+    independent of the Spark array-expression implementation."""
+    from collections import Counter
+
+    out = []
+    for d, text in render_lineshape_docs(n_docs, seed):
+        lines = _ls_lines(text)
+        n = len(lines)
+        if n == 0:
+            out.append((d, 0, 0.0, 0.0, 0.0, 0.0, 0.0))
+            continue
+        cnt = Counter(lines)
+        total_chars = sum(len(l) for l in lines)
+        dup_chars = sum(len(l) for l in lines if cnt[l] > 1)
+        out.append((
+            d,
+            n,
+            (n - len(cnt)) / n,
+            (dup_chars / total_chars) if total_chars else 0.0,
+            sum(1 for l in lines if l.startswith(("- ", "* ", "• "))) / n,
+            sum(1 for l in lines if l.endswith(("...", "…"))) / n,
+            sum(1 for l in lines if l.endswith((".", "!", "?", '"'))) / n,
+        ))
+    return out
+
+
+def expected_gopher_filter(
+    n_docs: int,
+    seed: int = 42,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> list[tuple]:
+    """Imperative replica of textstats.gopher_filter (same documented rule
+    order, different implementation)."""
+    import re
+    from collections import Counter
+
+    out = []
+    for d, text in render_lineshape_docs(n_docs, seed):
+        ws = [w for w in re.split(r"\s+", text) if w != ""]
+        lines = _ls_lines(text)
+        n_w, n_l = len(ws), len(lines)
+        mean_wl = (sum(len(w) for w in ws) / n_w) if n_w else 0.0
+        cnt = Counter(lines)
+        total_chars = sum(len(l) for l in lines)
+        dup_chars = sum(len(l) for l in lines if cnt[l] > 1)
+        bullet = (sum(1 for l in lines if l.startswith(("- ", "* ", "• "))) / n_l) if n_l else 0.0
+        ellip = (sum(1 for l in lines if l.endswith(("...", "…"))) / n_l) if n_l else 0.0
+        dup_f = ((n_l - len(cnt)) / n_l) if n_l else 0.0
+        dup_cf = (dup_chars / total_chars) if total_chars else 0.0
+        alpha = (sum(1 for w in ws if re.search(r"[a-zA-Z]", w)) / n_w) if n_w else 0.0
+        stops = len({w.lower() for w in ws} & set(GOPHER_STOPWORDS))
+        if n_w < min_words:
+            reason = "too_few_words"
+        elif n_w > max_words:
+            reason = "too_many_words"
+        elif mean_wl < min_mean_wl or mean_wl > max_mean_wl:
+            reason = "mean_word_len"
+        elif bullet > max_bullet_frac:
+            reason = "bullet_lines"
+        elif ellip > max_ellipsis_frac:
+            reason = "ellipsis_lines"
+        elif dup_f > max_dup_line_frac:
+            reason = "dup_lines"
+        elif dup_cf > max_dup_line_char_frac:
+            reason = "dup_line_chars"
+        elif alpha < min_alpha_word_frac:
+            reason = "alpha_words"
+        elif stops < min_stopwords:
+            reason = "stopwords"
+        else:
+            reason = "kept"
+        out.append((d, reason == "kept", reason))
+    return out
