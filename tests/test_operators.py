@@ -685,3 +685,35 @@ def test_gopher_filter_thresholds_are_parameters(spark):
     assert (strict["keep"], strict["reject_reason"]) == (False, "too_few_words")
     lax = textstats.gopher_filter(docs, min_words=10).collect()[0]
     assert lax["keep"] is True and lax["reject_reason"] == "kept"
+
+
+def test_dedup_lines_hand_checked(spark):
+    from wss_spark.operators import corpus
+    docs = _docs(spark, [
+        "keep me\nshared footer\n\nunique a",
+        "shared footer\nunique b",
+        "shared footer",            # loses its only line → ''
+    ])
+    got = {r["doc_id"]: r["text"] for r in corpus.dedup_lines(docs).collect()}
+    assert got[0] == "keep me\nshared footer\n\nunique a"   # first occurrence kept, blank kept
+    assert got[1] == "unique b"
+    assert got[2] == ""                                     # row survives with empty text
+    # trimming defines the key: '  shared footer ' is a dup of 'shared footer'
+    docs2 = _docs(spark, ["shared footer", "  shared footer "])
+    got2 = {r["doc_id"]: r["text"] for r in corpus.dedup_lines(docs2).collect()}
+    assert got2 == {0: "shared footer", 1: ""}
+
+
+def test_dedup_lines_matches_independent_oracle(spark):
+    from wss_spark import synth
+    from wss_spark.operators import corpus
+    docs = spark.createDataFrame(
+        synth.render_boilerplate_docs(48, seed=13), "doc_id int, text string"
+    )
+    exp = dict(synth.expected_line_dedup(48, seed=13))
+    got = {r["doc_id"]: r["text"] for r in corpus.dedup_lines(docs).collect()}
+    assert got == exp
+    # deterministic under a different partition layout
+    got2 = {r["doc_id"]: r["text"]
+            for r in corpus.dedup_lines(docs.repartition(7)).collect()}
+    assert got2 == exp

@@ -1829,6 +1829,27 @@ def llm_gopher_filter(spark, sf):
     return textstats.gopher_filter(docs)
 
 
+@_q(
+    "llm_line_dedup",
+    _values_table(
+        synth.expected_line_dedup(_N_LINESHAPE_DOCS),
+        [("doc_id", "INTEGER"), ("text", "VARCHAR")],
+    ),
+)
+def llm_line_dedup(spark, sf):
+    """C4 corpus-wide line dedup (corpus.dedup_lines: keep only the first
+    (doc_id, pos) occurrence of every trimmed line, rebuild documents) over
+    the boilerplate-wrapped corpus — 61/64 docs shrink (shared site
+    headers/footers plus within-doc repeats). Oracle:
+    synth.expected_line_dedup, an independent global-seen-set walk in
+    document order."""
+    docs = spark.createDataFrame(
+        synth.render_boilerplate_docs(_N_LINESHAPE_DOCS),
+        "doc_id int, text string",
+    )
+    return corpus.dedup_lines(docs)
+
+
 # ===========================================================================
 # page-family extraction gates (round 2): the DuckDB side is either a
 # record-level replay of the synthetic model (VALUES — the Spark side parses
@@ -2774,6 +2795,7 @@ _DEMOTED = [
     "ts_word_repetition",
     "ts_line_shape",
     "llm_gopher_filter",
+    "llm_line_dedup",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the

@@ -182,3 +182,66 @@ def select_by_token_budget(docs: DataFrame, budget_tokens: int,
         )
         kept = kept.unionByName(boundary)
     return kept
+
+
+def dedup_lines(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """C4-style corpus-wide line deduplication (Raffel et al. 2020 §2.2:
+    'we removed all but one of any three-sentence span occurring more than
+    once', applied here at line granularity — the boilerplate killer for
+    headers/footers/menus repeated across pages).
+
+    Semantics: a line's dedup key is its trimmed form; blank lines are
+    document structure and always survive. For every key occurring anywhere
+    in the corpus only the FIRST occurrence — ordered by (doc_id, line
+    position) — is kept; every other copy is removed. Output is
+    ``(doc_id, text)`` with the surviving lines re-joined in original order
+    (untrimmed); documents whose every line was removed come back with
+    ``''`` so no input row disappears.
+
+    Scale shape (three shuffles, all inherent to a global line dedup):
+    first-occurrence per key is a groupBy(key).min(struct(doc_id, pos)) —
+    partial aggregation makes the hot boilerplate keys skew-safe (each map
+    task emits one candidate per key), unlike a rank-window over the key
+    which would funnel every copy of a hot line into one task. The
+    keep-filter is then an equi-join back on the key (AQE handles residual
+    skew), and reassembly is one groupBy(doc_id) with an array_sort —
+    order-correct regardless of partitioning. The reference's analog is its
+    keep-first drop_duplicates on write
+    (独立版/(using)WeiboUserScrapy.py:447-456), applied per-post; this is
+    the same keep-first rule applied corpus-wide at line level."""
+    lines = dedup._persist_for_self_join(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        ).withColumn("_key", F.trim(F.col("line")))
+    )  # feeds three consumers (keep-join left side, firsts agg, blanks) —
+    #    one exploded pass instead of three corpus scans
+    content = lines.filter(F.col("_key") != "")
+    blank = lines.filter(F.col("_key") == "").drop("_key")
+    firsts = content.groupBy("_key").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_first")
+    )
+    kept_content = (
+        content.join(firsts, "_key")
+        .filter(
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("pos") == F.col("_first.pos"))
+        )
+        .select("doc_id", "pos", "line")
+    )
+    kept = kept_content.unionByName(blank)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        ids.join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )

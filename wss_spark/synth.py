@@ -1498,3 +1498,36 @@ def expected_gopher_filter(
             reason = "kept"
         out.append((d, reason == "kept", reason))
     return out
+
+
+def render_boilerplate_docs(n_docs: int, seed: int = 42) -> list[tuple[int, str]]:
+    """The line-shape docs wrapped in per-site boilerplate (a shared
+    navigation header and copyright footer, 4 sites cycling over doc_id) —
+    the cross-document duplicate-line fixture for corpus.dedup_lines."""
+    out = []
+    for d, text in render_lineshape_docs(n_docs, seed):
+        site = d % 4
+        header = f"site{site} navigation home about contact"
+        footer = f"copyright site{site} all rights reserved"
+        out.append((d, header + "\n" + text + "\n" + footer))
+    return out
+
+
+def expected_line_dedup(n_docs: int, seed: int = 42) -> list[tuple[int, str]]:
+    """Imperative replica of corpus.dedup_lines over the boilerplate docs:
+    one global seen-set walked in (doc_id, position) order."""
+    seen: set[str] = set()
+    out = []
+    for d, text in render_boilerplate_docs(n_docs, seed):
+        kept = []
+        for ln in text.split("\n"):
+            k = ln.strip()
+            if k == "":
+                kept.append(ln)
+                continue
+            if k in seen:
+                continue
+            seen.add(k)
+            kept.append(ln)
+        out.append((d, "\n".join(kept)))
+    return out
