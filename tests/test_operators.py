@@ -672,10 +672,12 @@ def test_gopher_filter_matches_independent_oracle(spark):
            for r in textstats.gopher_filter(docs).collect()}
     exp = {d: (k, why) for d, k, why in synth.expected_gopher_filter(64, seed=7)}
     assert got == exp
-    # every branch of the rule ladder is exercised at n=64
+    # every fixture-reachable branch of the rule ladder is exercised at n=64
+    # (too_many_words is pinned below with a parameterized threshold)
     assert {why for _, why in exp.values()} == {
         "kept", "too_few_words", "mean_word_len", "bullet_lines",
-        "ellipsis_lines", "dup_lines", "alpha_words", "stopwords",
+        "ellipsis_lines", "dup_lines", "dup_line_chars", "alpha_words",
+        "stopwords",
     }
 
 
@@ -685,6 +687,22 @@ def test_gopher_filter_thresholds_are_parameters(spark):
     assert (strict["keep"], strict["reject_reason"]) == (False, "too_few_words")
     lax = textstats.gopher_filter(docs, min_words=10).collect()[0]
     assert lax["keep"] is True and lax["reject_reason"] == "kept"
+    over = textstats.gopher_filter(docs, min_words=10, max_words=50).collect()[0]
+    assert (over["keep"], over["reject_reason"]) == (False, "too_many_words")
+
+
+def test_line_stats_ascii_whitespace_trim(spark):
+    # CRLF + tabs: blank lines must stay blank, endswith rules must fire
+    crlf = "Good sentence.\r\n\r\nAnother one.\r"
+    r = textstats.line_shape_stats(_docs(spark, [crlf])).collect()[0]
+    assert r["n_lines"] == 2
+    assert r["term_punct_line_frac"] == 1.0
+    # dedup_lines: '\r'-blank lines survive; 'x\r' keys equal to 'x'
+    from wss_spark.operators import corpus
+    docs = _docs(spark, ["shared\r\n\r\nkeep a", "shared\t\nkeep b"])
+    got = {row["doc_id"]: row["text"] for row in corpus.dedup_lines(docs).collect()}
+    assert got[0] == "shared\r\n\r\nkeep a"
+    assert got[1] == "keep b"
 
 
 def test_dedup_lines_hand_checked(spark):

@@ -1819,8 +1819,9 @@ def ts_line_shape(spark, sf):
 )
 def llm_gopher_filter(spark, sf):
     """The Gopher quality-rule ladder (keep/reject + first-failing-rule
-    reason) over the same corpus — all 8 reject branches and the kept branch
-    are exercised (8 docs each at 64). Oracle: synth.expected_gopher_filter,
+    reason) over the same corpus — every fixture-reachable reject branch
+    plus kept is exercised (9 branches at 64 docs; too_many_words is pinned
+    by a parameterized unit test). Oracle: synth.expected_gopher_filter,
     an independent imperative implementation of the same documented rules."""
     docs = spark.createDataFrame(
         synth.render_lineshape_docs(_N_LINESHAPE_DOCS),

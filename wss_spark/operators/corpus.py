@@ -191,7 +191,9 @@ def dedup_lines(docs: DataFrame, id_col: str = "doc_id",
     once', applied here at line granularity — the boilerplate killer for
     headers/footers/menus repeated across pages).
 
-    Semantics: a line's dedup key is its trimmed form; blank lines are
+    Semantics: a line's dedup key is its ASCII-whitespace-trimmed form
+    (textstats._trim_ws — NOT Spark's space-only F.trim, so CRLF/tabbed
+    corpora key and blank-detect correctly); blank lines are
     document structure and always survive. For every key occurring anywhere
     in the corpus only the FIRST occurrence — ordered by (doc_id, line
     position) — is kept; every other copy is removed. Output is
@@ -214,7 +216,7 @@ def dedup_lines(docs: DataFrame, id_col: str = "doc_id",
         docs.select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-        ).withColumn("_key", F.trim(F.col("line")))
+        ).withColumn("_key", textstats._trim_ws(F.col("line")))
     )  # feeds three consumers (keep-join left side, firsts agg, blanks) —
     #    one exploded pass instead of three corpus scans
     content = lines.filter(F.col("_key") != "")

@@ -156,11 +156,54 @@ def _words_col(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda x: x != "")
 
 
+# ASCII-whitespace edge trim: Spark's F.trim strips ONLY the space
+# character 0x20, while the Python oracle replicas use str.strip() — on a
+# CRLF or tabbed corpus those diverge ('para\r' would never end with '.').
+# Both sides pin the explicit ASCII set: this regex here,
+# str.strip(ASCII_WS) in synth (Java's \s is ASCII-only by default, so the
+# class below IS Java \s; unicode spaces are deliberately out of scope).
+_ASCII_WS_EDGES = r"^[ \t\r\n\f\x0B]+|[ \t\r\n\f\x0B]+$"
+
+
+def _trim_ws(c: Column) -> Column:
+    return F.regexp_replace(c, _ASCII_WS_EDGES, "")
+
+
 def _lines_col(text: Column) -> Column:
     return F.filter(
-        F.transform(F.split(text, "\n"), lambda s: F.trim(s)),
+        F.transform(F.split(text, "\n"), lambda s: _trim_ws(s)),
         lambda s: s != "",
     )
+
+
+def _line_stat_cols(ls: Column) -> dict[str, Column]:
+    """The five line-shape fraction expressions over a staged lines-array
+    column — shared by line_shape_stats and gopher_filter so the two can
+    never drift (each fraction one exact int/int division; 0.0 on empty)."""
+    n = F.size(ls)
+    zero = F.lit(0).cast("long")
+    total_chars = F.aggregate(ls, zero, lambda a, x: a + F.length(x))
+    dup_chars = F.aggregate(
+        ls, zero,
+        lambda a, x: a + F.when(
+            F.size(F.filter(ls, lambda y: y == x)) > 1, F.length(x)
+        ).otherwise(F.lit(0)),
+    )
+    frac = lambda num: F.when(n > 0, num.cast("double") / n).otherwise(F.lit(0.0))
+    return {
+        "dup_line_frac": frac(n - F.size(F.array_distinct(ls))),
+        "dup_line_char_frac": F.when(
+            total_chars > 0, dup_chars.cast("double") / total_chars
+        ).otherwise(F.lit(0.0)),
+        "bullet_line_frac": frac(F.size(F.filter(
+            ls, lambda l: l.startswith("- ") | l.startswith("* ")
+            | l.startswith("• ")))),
+        "ellipsis_line_frac": frac(F.size(F.filter(
+            ls, lambda l: l.endswith("...") | l.endswith("…")))),
+        "term_punct_line_frac": frac(F.size(F.filter(
+            ls, lambda l: l.endswith(".") | l.endswith("!") | l.endswith("?")
+            | l.endswith('"')))),
+    }
 
 
 def word_repetition(docs: DataFrame, id_col: str = "doc_id",
@@ -221,32 +264,13 @@ def line_shape_stats(docs: DataFrame, id_col: str = "doc_id",
         _lines_col(F.col(text_col)).alias("_ls"),
     )
     ls = F.col("_ls")
-    n = F.size(ls)
-    zero = F.lit(0).cast("long")
-    total_chars = F.aggregate(ls, zero, lambda a, x: a + F.length(x))
-    dup_chars = F.aggregate(
-        ls, zero,
-        lambda a, x: a + F.when(
-            F.size(F.filter(ls, lambda y: y == x)) > 1, F.length(x)
-        ).otherwise(F.lit(0)),
-    )
-    n_bullet = F.size(F.filter(
-        ls, lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("• ")))
-    n_ellipsis = F.size(F.filter(
-        ls, lambda l: l.endswith("...") | l.endswith("…")))
-    n_term = F.size(F.filter(
-        ls, lambda l: l.endswith(".") | l.endswith("!") | l.endswith("?")
-        | l.endswith('"')))
-    frac = lambda num: F.when(n > 0, num.cast("double") / n).otherwise(F.lit(0.0))
+    stats = _line_stat_cols(ls)
     return staged.select(
         "doc_id",
-        n.alias("n_lines"),
-        frac(n - F.size(F.array_distinct(ls))).alias("dup_line_frac"),
-        F.when(total_chars > 0, dup_chars.cast("double") / total_chars)
-         .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
-        frac(n_bullet).alias("bullet_line_frac"),
-        frac(n_ellipsis).alias("ellipsis_line_frac"),
-        frac(n_term).alias("term_punct_line_frac"),
+        F.size(ls).alias("n_lines"),
+        *[stats[k].alias(k) for k in
+          ("dup_line_frac", "dup_line_char_frac", "bullet_line_frac",
+           "ellipsis_line_frac", "term_punct_line_frac")],
     )
 
 
@@ -264,7 +288,8 @@ def gopher_filter(docs: DataFrame, id_col: str = "doc_id",
     documented order: too_few_words, too_many_words, mean_word_len,
     bullet_lines, ellipsis_lines, dup_lines, dup_line_chars, alpha_words,
     stopwords, else 'kept'. The independent imperative replica is
-    synth.expected_gopher_filter (VALUES oracle)."""
+    synth.expected_gopher_filter (VALUES oracle; every branch except
+    too_many_words is fixture-exercised — that one is unit-test pinned)."""
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         _words_col(F.col(text_col)).alias("_ws"),
@@ -272,14 +297,7 @@ def gopher_filter(docs: DataFrame, id_col: str = "doc_id",
     )
     w, ls = F.col("_ws"), F.col("_ls")
     zero = F.lit(0).cast("long")
-    n_l = F.size(ls)
-    total_chars = F.aggregate(ls, zero, lambda a, x: a + F.length(x))
-    dup_chars = F.aggregate(
-        ls, zero,
-        lambda a, x: a + F.when(
-            F.size(F.filter(ls, lambda y: y == x)) > 1, F.length(x)
-        ).otherwise(F.lit(0)),
-    )
+    lstats = _line_stat_cols(ls)
     stats = staged.select(
         "doc_id",
         F.size(w).alias("_nw"),
@@ -289,20 +307,10 @@ def gopher_filter(docs: DataFrame, id_col: str = "doc_id",
             F.transform(w, lambda x: F.lower(x)),
             F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
         )).alias("_nstop"),
-        n_l.alias("_nl"),
-        F.when(n_l > 0,
-               (n_l - F.size(F.array_distinct(ls))).cast("double") / n_l)
-         .otherwise(F.lit(0.0)).alias("_dupf"),
-        F.when(total_chars > 0, dup_chars.cast("double") / total_chars)
-         .otherwise(F.lit(0.0)).alias("_dupcf"),
-        F.when(n_l > 0, F.size(F.filter(
-            ls, lambda l: l.startswith("- ") | l.startswith("* ")
-            | l.startswith("• "))).cast("double") / n_l)
-         .otherwise(F.lit(0.0)).alias("_bulletf"),
-        F.when(n_l > 0, F.size(F.filter(
-            ls, lambda l: l.endswith("...") | l.endswith("…")))
-            .cast("double") / n_l)
-         .otherwise(F.lit(0.0)).alias("_ellipf"),
+        lstats["dup_line_frac"].alias("_dupf"),
+        lstats["dup_line_char_frac"].alias("_dupcf"),
+        lstats["bullet_line_frac"].alias("_bulletf"),
+        lstats["ellipsis_line_frac"].alias("_ellipf"),
     )
     nw = F.col("_nw")
     mean_wl = F.when(nw > 0, F.col("_wchars").cast("double") / nw).otherwise(F.lit(0.0))

@@ -1363,13 +1363,16 @@ def _ls_prose_line(r, i: int, n_words: int | None = None) -> str:
 
 
 def render_lineshape_docs(n_docs: int, seed: int = 42) -> list[tuple[int, str]]:
-    """(doc_id, text) multi-line docs cycling through 8 scenarios, one per
+    """(doc_id, text) multi-line docs cycling through 9 scenarios, one per
     Gopher-rule branch (kept / bullets / ellipses / duplicate lines / too
-    short / symbol words / no stopwords / over-long words)."""
+    short / symbol words / no stopwords / over-long words / duplicated-char
+    mass). The only ladder branch with no fixture scenario is
+    too_many_words (a >100k-word doc is unreasonable in a VALUES oracle);
+    it is pinned by a parameterized unit test instead."""
     docs: list[tuple[int, str]] = []
     for d in range(n_docs):
         r = _rng(seed, d, 71)
-        kind = d % 8
+        kind = d % 9
         if kind == 0:  # clean keep
             lines = [_ls_prose_line(r, i) for i in range(r.randint(6, 9))]
         elif kind == 1:  # bullet-heavy (12/13 = 0.923 > 0.9)
@@ -1402,17 +1405,35 @@ def render_lineshape_docs(n_docs: int, seed: int = 42) -> list[tuple[int, str]]:
                 " ".join(r.choice(_LS_VOCAB) for _ in range(9)) + f" n{i}."
                 for i in range(7)
             ]
-        else:  # kind == 7: over-long words (mean length > 10)
+        elif kind == 7:  # over-long words (mean length > 10)
             lines = [
                 " ".join(r.choice(_LS_LONG) for _ in range(9)) + f" w{i}"
                 for i in range(7)
+            ]
+        else:  # kind == 8: duplicated CHAR mass without duplicated-line
+            # fraction — one long line twice among ten short distinct lines:
+            # dup_line_frac = 1/12 ≤ 0.3 but dup chars dominate total chars
+            # (> 0.2), so the ladder reaches dup_line_chars
+            long_line = _ls_prose_line(r, 0, n_words=30)
+            lines = [long_line, long_line] + [
+                _ls_prose_line(r, i + 1, n_words=4) for i in range(10)
             ]
         docs.append((d, "\n".join(lines)))
     return docs
 
 
+# Explicit ASCII whitespace set — matches textstats._trim_ws and Java's \\s
+# (Python's bare str.strip()/re \\s are unicode-aware and would diverge from
+# the Spark side on unicode-space text; unicode spaces are out of scope).
+ASCII_WS = " \t\r\n\f\x0b"
+
+
+def _ls_words(text: str) -> list[str]:
+    return [w for w in re.split(r"[ \t\r\n\f\x0b]+", text) if w != ""]
+
+
 def _ls_lines(text: str) -> list[str]:
-    return [s for s in (ln.strip() for ln in text.split("\n")) if s != ""]
+    return [s for s in (ln.strip(ASCII_WS) for ln in text.split("\n")) if s != ""]
 
 
 def expected_line_shape(n_docs: int, seed: int = 42) -> list[tuple]:
@@ -1463,7 +1484,7 @@ def expected_gopher_filter(
 
     out = []
     for d, text in render_lineshape_docs(n_docs, seed):
-        ws = [w for w in re.split(r"\s+", text) if w != ""]
+        ws = _ls_words(text)
         lines = _ls_lines(text)
         n_w, n_l = len(ws), len(lines)
         mean_wl = (sum(len(w) for w in ws) / n_w) if n_w else 0.0
@@ -1521,7 +1542,7 @@ def expected_line_dedup(n_docs: int, seed: int = 42) -> list[tuple[int, str]]:
     for d, text in render_boilerplate_docs(n_docs, seed):
         kept = []
         for ln in text.split("\n"):
-            k = ln.strip()
+            k = ln.strip(ASCII_WS)
             if k == "":
                 kept.append(ln)
                 continue
