@@ -735,3 +735,33 @@ def test_dedup_lines_matches_independent_oracle(spark):
     got2 = {r["doc_id"]: r["text"]
             for r in corpus.dedup_lines(docs.repartition(7)).collect()}
     assert got2 == exp
+
+
+def test_sample_by_source_and_temperature_rates(spark):
+    from wss_spark.operators import corpus
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(200)], "doc_id long, source string"
+    )
+    out = corpus.sample_by_source(docs, {"src0": 0.0, "src1": 0.4})
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert "src0" not in by_src                      # zero rate drops all
+    assert len(by_src["src2"]) == 50                 # default rate keeps all
+    assert len(by_src["src3"]) == 50
+    assert 0 < len(by_src["src1"]) < 50              # fractional rate samples
+    # content-addressed: rerun and repartition give the identical keep set
+    again = {(r["doc_id"], r["source"])
+             for r in corpus.sample_by_source(
+                 docs.repartition(7), {"src0": 0.0, "src1": 0.4}).collect()}
+    assert again == {(r["doc_id"], r["source"]) for r in rows}
+
+    rates = corpus.temperature_rates({"big": 900, "small": 100},
+                                     temperature=100.0)
+    assert rates["small"] == 1.0                     # rare source capped up
+    assert 0.5 < rates["big"] < 0.6                  # majority source cut
+    assert corpus.temperature_rates({"a": 900, "b": 100}) == {"a": 1.0, "b": 1.0}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        corpus.temperature_rates({"a": 1}, temperature=0)

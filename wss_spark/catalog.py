@@ -1851,6 +1851,35 @@ def llm_line_dedup(spark, sf):
     return corpus.dedup_lines(docs)
 
 
+# zero-rate, fractional, and default-rate sources all exercised
+_SAMPLE_RATES = {"src0": 0.25, "src1": 0.5, "src2": 0.0}
+
+
+def _sample_sql() -> str:
+    """DuckDB replay of corpus.sample_by_source: same portable-hash ladder
+    (u = h28('sample:'||id)/2^28), same literal rate CASE — repr() floats so
+    both engines parse identical doubles (the _split_sql trick)."""
+    key = "'sample:' || CAST(doc_id AS VARCHAR)"
+    u = f"({_h28(key)} / 268435456.0)"
+    case = "CASE"
+    for s, r in sorted(_SAMPLE_RATES.items()):
+        case += f" WHEN source = '{s}' THEN {float(r)!r}"
+    case += " ELSE 1.0 END"
+    return f"SELECT doc_id, source FROM documents WHERE {u} < {case}"
+
+
+@_q("llm_source_sample", _sample_sql())
+def llm_source_sample(spark, sf):
+    """Deterministic per-source downsampling (corpus.sample_by_source — the
+    data-mixing stage): content-addressed keep decision, zero-shuffle filter
+    projection; composes with corpus.temperature_rates for temperature-
+    flattened mixing (that planning helper is pure Python, unit-tested)."""
+    return corpus.sample_by_source(
+        _t(spark, sf, "documents").select("doc_id", "source"),
+        _SAMPLE_RATES,
+    )
+
+
 # ===========================================================================
 # page-family extraction gates (round 2): the DuckDB side is either a
 # record-level replay of the synthetic model (VALUES — the Spark side parses
@@ -2797,6 +2826,7 @@ _DEMOTED = [
     "ts_line_shape",
     "llm_gopher_filter",
     "llm_line_dedup",
+    "llm_source_sample",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the

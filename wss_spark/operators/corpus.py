@@ -247,3 +247,55 @@ def dedup_lines(docs: DataFrame, id_col: str = "doc_id",
         ids.join(rebuilt, "doc_id", "left")
         .select("doc_id", F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     )
+
+
+def temperature_rates(counts: dict[str, int], temperature: float = 1.0,
+                      target_total: int | None = None) -> dict[str, float]:
+    """Per-source keep rates for temperature-flattened data mixing
+    (Arivazhagan et al. 2019 §5: sample source i with probability
+    ∝ p_i^(1/T)) — the driver-side planning half of :func:`sample_by_source`.
+
+    With T=1 the mix is unchanged; T→∞ flattens toward uniform across
+    sources. Rates are capped at 1.0 (this operator only downsamples — it
+    never duplicates documents), so the realized total can undershoot
+    ``target_total`` when a rare source's boosted share exceeds its
+    supply. Pure Python over the per-source counts (a tiny dict the caller
+    gets from one groupBy), deterministic."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    total = sum(counts.values())
+    if total == 0:
+        return {s: 1.0 for s in counts}
+    if target_total is None:
+        target_total = total
+    q = {s: (c / total) ** (1.0 / temperature) for s, c in counts.items()}
+    z = sum(q.values())
+    return {
+        s: min(1.0, (q[s] / z) * target_total / c) if c else 1.0
+        for s, c in counts.items()
+    }
+
+
+def sample_by_source(docs: DataFrame, rates: dict[str, float],
+                     default_rate: float = 1.0, id_col: str = "doc_id",
+                     source_col: str = "source",
+                     salt: str = "sample") -> DataFrame:
+    """Deterministic per-source downsampling — the data-mixing stage that
+    reweights a web corpus (keep CommonCrawl at 10%, books at 100%, …).
+
+    Keep a document iff ``u(id) < rate(source)`` where ``u`` is the
+    portable 28-bit hash of ``salt:id`` mapped to [0, 1) — the same
+    content-addressed ladder as :func:`split_by_hash`, so the decision is
+    engine-, partitioning-, and run-independent, and incremental additions
+    never flip old decisions (random() sampling has neither property).
+    Zero-shuffle: the rate lookup is a literal when-chain over the tiny
+    rates dict (no join), and the whole operator is a filter that pushes
+    into the scan. Composes with :func:`temperature_rates` for
+    temperature-flattened mixing."""
+    u = dedup.portable_hash28(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    ) / F.lit(float(1 << 28))
+    rate = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == s, F.lit(float(r))).otherwise(rate)
+    return docs.filter(u < rate)
