@@ -765,3 +765,29 @@ def test_sample_by_source_and_temperature_rates(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         corpus.temperature_rates({"a": 1}, temperature=0)
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from wss_spark.operators import corpus
+    docs = spark.createDataFrame(
+        [
+            (1, "write a.b%x+1@ex-1.co.uk or c@d.io today"),
+            (2, "server at 10.2.0.1 and 192.168.255.3, v1.2 is not an ip"),
+            (3, "call +1 (555) 010-0042 or 555 010 1234 x"),
+            (4, "clean text, no pii at all"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in corpus.scrub_pii(docs).collect()}
+    assert got[1]["text"] == "write <EMAIL> or <EMAIL> today"
+    assert (got[1]["n_email"], got[1]["n_ip"], got[1]["n_phone"]) == (2, 0, 0)
+    assert got[2]["text"] == "server at <IP> and <IP>, v1.2 is not an ip"
+    assert got[2]["n_ip"] == 2
+    assert got[3]["text"] == "call <PHONE> or <PHONE> x"
+    assert got[3]["n_phone"] == 2
+    assert got[4]["text"] == "clean text, no pii at all"
+    assert (got[4]["n_email"], got[4]["n_ip"], got[4]["n_phone"]) == (0, 0, 0)
+    assert got[5]["text"] is None and got[5]["n_email"] is None
+    # counts=False keeps the original shape
+    assert corpus.scrub_pii(docs, counts=False).columns == ["doc_id", "text"]

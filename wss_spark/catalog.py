@@ -1880,6 +1880,43 @@ def llm_source_sample(spark, sf):
     )
 
 
+def _pii_sql() -> str:
+    """DuckDB replay of corpus.scrub_pii over PII-augmented documents: the
+    same concat fixture, the same pattern chain in the same order (the
+    patterns only use the Java-regex ∩ RE2 surface — see PII_PATTERNS), and
+    counts measured on the pre-scrub text."""
+    from wss_spark.operators.corpus import PII_PATTERNS
+    aug = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+           "'@example.com or admin@mail.example.org via 10.' || "
+           "CAST(doc_id % 256 AS VARCHAR) || '.0.1 tel +1 (555) 010-' || "
+           "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
+    scrub = "text"
+    cnts = []
+    for kind, (pat, repl) in PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+        cnts.append(f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}")
+    return (f"WITH aug AS (SELECT doc_id, {aug} AS text FROM documents) "
+            f"SELECT doc_id, {scrub} AS text, {', '.join(cnts)} FROM aug")
+
+
+@_q("llm_pii_scrub", _pii_sql())
+def llm_pii_scrub(spark, sf):
+    """PII masking + per-kind counts (corpus.scrub_pii — the release-
+    compliance stage): documents augmented with deterministic doc_id-derived
+    emails/IPs/phones so every pattern provably fires on every row, then
+    scrubbed; zero-shuffle row-local projection, all JVM regex."""
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"), F.lit("@example.com"),
+        F.lit(" or admin@mail.example.org via 10."),
+        (d % 256).cast("string"), F.lit(".0.1 tel +1 (555) 010-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", aug.alias("text"))
+    return corpus.scrub_pii(docs)
+
+
 # ===========================================================================
 # page-family extraction gates (round 2): the DuckDB side is either a
 # record-level replay of the synthetic model (VALUES — the Spark side parses
@@ -2827,6 +2864,7 @@ _DEMOTED = [
     "llm_gopher_filter",
     "llm_line_dedup",
     "llm_source_sample",
+    "llm_pii_scrub",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the
