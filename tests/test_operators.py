@@ -791,3 +791,36 @@ def test_scrub_pii_masks_and_counts(spark):
     assert got[5]["text"] is None and got[5]["n_email"] is None
     # counts=False keeps the original shape
     assert corpus.scrub_pii(docs, counts=False).columns == ["doc_id", "text"]
+
+
+def test_decontaminate_drops_benchmark_overlap(spark):
+    from wss_spark.operators import dedup
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a totally unrelated document about spark plans"),
+            (3, "quick brown fox appears here too somehow"),
+            (4, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], "doc_id long, text string"
+    )
+    hits = {r["doc_id"]: r["n_hits"]
+            for r in dedup.contamination_hits(docs, bench, n=3).collect()}
+    # docs 1 and 3 share the 'quick brown fox' 3-gram; 2 and 4 share nothing
+    assert set(hits) == {1, 3}
+    assert hits[1] >= 2    # 'the quick brown' + 'quick brown fox'
+    assert hits[3] == 1
+    kept = {r["doc_id"] for r in
+            dedup.decontaminate(docs, bench, n=3).collect()}
+    assert kept == {2, 4}
+    # max_hits raises the bar: doc 3 (1 shared gram) survives
+    kept2 = {r["doc_id"] for r in
+             dedup.decontaminate(docs, bench, n=3, max_hits=1).collect()}
+    assert kept2 == {2, 3, 4}
+    # disjoint benchmark → identity
+    far = spark.createDataFrame([(1, "zzz yyy xxx www vvv")],
+                                "doc_id long, text string")
+    assert dedup.decontaminate(docs, far, n=3).count() == 4

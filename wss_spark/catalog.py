@@ -1917,6 +1917,32 @@ def llm_pii_scrub(spark, sf):
     return corpus.scrub_pii(docs)
 
 
+@_q(
+    "llm_decontaminate",
+    f"""
+    WITH {_SH_SQL},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+    SELECT s.doc_id, COUNT(*) AS n_hits
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def llm_decontaminate(spark, sf):
+    """Benchmark decontamination (dedup.contamination_hits — the eval-overlap
+    scrub): a deterministic slice of the corpus (doc_id % 97 == 0) stands in
+    as the held-out benchmark, the rest is the training corpus; the gate
+    value-checks every (doc_id, shared-n-gram count). The dropping half
+    (dedup.decontaminate) is the tested anti-join composition of this.
+    Benchmark shingles broadcast; n=3 here (13 in the published recipes)
+    so the synthetic corpus actually overlaps."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return dedup.contamination_hits(
+        docs.filter(F.col("doc_id") % 97 != 0), bench, n=3
+    )
+
+
 # ===========================================================================
 # page-family extraction gates (round 2): the DuckDB side is either a
 # record-level replay of the synthetic model (VALUES — the Spark side parses
@@ -2865,6 +2891,7 @@ _DEMOTED = [
     "llm_line_dedup",
     "llm_source_sample",
     "llm_pii_scrub",
+    "llm_decontaminate",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the

@@ -502,3 +502,51 @@ def simhash_near_pairs(sims: DataFrame, block_col: DataFrame | None = None,
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def contamination_hits(docs: DataFrame, benchmark: DataFrame, n: int = 13,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       bench_id_col: str | None = None,
+                       bench_text_col: str | None = None) -> DataFrame:
+    """Benchmark decontamination, flagging half: ``(doc_id, n_hits)`` where
+    ``n_hits`` is how many distinct word n-grams a training document shares
+    with ANY benchmark document (the GPT-3 appendix-C / Llama eval-overlap
+    check — training corpora are scrubbed of eval n-grams, 13-grams in the
+    published recipes, before a model is trained on them).
+
+    Scale shape: the benchmark side is an eval set — MBs against a 100 TB
+    corpus — so its distinct-shingle set is explicitly broadcast and the
+    probe is a map-side hash join riding the same pass that shingles the
+    corpus; the only shuffle is the per-doc count. Shingling is the shared
+    JVM-side :func:`shingles` (split → slice/join transform → explode), so
+    hit semantics are identical to the near-dup tier's."""
+    bench_sh = (
+        shingles(benchmark, n, bench_id_col or id_col,
+                 bench_text_col or text_col)
+        .select("shingle").distinct()
+    )
+    doc_sh = shingles(docs, n, id_col, text_col)
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
+                  max_hits: int = 0, id_col: str = "doc_id",
+                  text_col: str = "text", bench_id_col: str | None = None,
+                  bench_text_col: str | None = None) -> DataFrame:
+    """Benchmark decontamination, dropping half: the input corpus minus every
+    document sharing more than ``max_hits`` distinct n-grams with the
+    benchmark (``max_hits=0`` = any overlap disqualifies). The flagged set
+    is contaminated docs only — in practice a sliver of the corpus — so the
+    final anti-join's right side is small and AQE picks a broadcast; the
+    corpus is never scanned twice (hits come from the shingle pass)."""
+    flagged = (
+        contamination_hits(docs, benchmark, n, id_col, text_col,
+                           bench_id_col, bench_text_col)
+        .filter(F.col("n_hits") > max_hits)
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(flagged, id_col, "left_anti")
