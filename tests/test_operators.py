@@ -765,6 +765,10 @@ def test_sample_by_source_and_temperature_rates(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         corpus.temperature_rates({"a": 1}, temperature=0)
+    # misspelled rate keys fail fast when known_sources is supplied
+    with _pytest.raises(ValueError, match="src9"):
+        corpus.sample_by_source(docs, {"src9": 0.1},
+                                known_sources={"src0", "src1"})
 
 
 def test_scrub_pii_masks_and_counts(spark):
@@ -791,6 +795,32 @@ def test_scrub_pii_masks_and_counts(spark):
     assert got[5]["text"] is None and got[5]["n_email"] is None
     # counts=False keeps the original shape
     assert corpus.scrub_pii(docs, counts=False).columns == ["doc_id", "text"]
+
+
+def test_scrub_pii_does_not_overmask(spark):
+    """Ordinary numeric text survives; dotted runs never leave fragments."""
+    from wss_spark.operators import corpus
+    keep_asis = [
+        "from 2019 - 2024 revenue grew",      # year range, spaced hyphen
+        "ISBN 978-0-306-40615-7 in print",    # ISBN-13 grouping
+        "pages 100 200 300 400 listed",       # number list
+        "at 999.999.999.999 invalid octets",  # not an IP
+        "released v1.2.3.4 of the tool",      # v-prefix blocks the boundary
+        "timestamp 12:30:45.123456 today",
+    ]
+    rows = [(i, t) for i, t in enumerate(keep_asis)] + [
+        (100, "hop 1.2.3.4.5 traced"),         # absorbed wholly, no dangling .5
+        (101, "dial (555) 010-1234 now"),      # parenthesized 3-3-4
+        (102, "cn +8613912345678 direct"),     # bare international
+    ]
+    got = {r["doc_id"]: r for r in corpus.scrub_pii(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    for i, t in enumerate(keep_asis):
+        assert got[i]["text"] == t, (got[i]["text"], t)
+        assert (got[i]["n_email"], got[i]["n_ip"], got[i]["n_phone"]) == (0, 0, 0)
+    assert got[100]["text"] == "hop <IP> traced"
+    assert got[101]["text"] == "dial <PHONE> now"
+    assert got[102]["text"] == "cn <PHONE> direct"
 
 
 def test_decontaminate_drops_benchmark_overlap(spark):

@@ -278,8 +278,8 @@ def temperature_rates(counts: dict[str, int], temperature: float = 1.0,
 
 def sample_by_source(docs: DataFrame, rates: dict[str, float],
                      default_rate: float = 1.0, id_col: str = "doc_id",
-                     source_col: str = "source",
-                     salt: str = "sample") -> DataFrame:
+                     source_col: str = "source", salt: str = "sample",
+                     known_sources: "set[str] | None" = None) -> DataFrame:
     """Deterministic per-source downsampling — the data-mixing stage that
     reweights a web corpus (keep CommonCrawl at 10%, books at 100%, …).
 
@@ -291,7 +291,18 @@ def sample_by_source(docs: DataFrame, rates: dict[str, float],
     Zero-shuffle: the rate lookup is a literal when-chain over the tiny
     rates dict (no join), and the whole operator is a filter that pushes
     into the scan. Composes with :func:`temperature_rates` for
-    temperature-flattened mixing."""
+    temperature-flattened mixing.
+
+    A rate key naming no real source silently falls through to
+    ``default_rate`` (the when-chain matches nothing) — pass
+    ``known_sources`` (e.g. the keys of the counts dict fed to
+    :func:`temperature_rates`) to fail fast on misspelled keys instead."""
+    if known_sources is not None:
+        unmatched = set(rates) - set(known_sources)
+        if unmatched:
+            raise ValueError(
+                f"rates name sources not in known_sources: {sorted(unmatched)}"
+            )
     u = dedup.portable_hash28(
         F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
     ) / F.lit(float(1 << 28))
@@ -304,12 +315,30 @@ def sample_by_source(docs: DataFrame, rates: dict[str, float],
 # Masked in this order: emails carry dots and digit runs that the IP/phone
 # patterns could partially re-match, so they go first. Patterns deliberately
 # use only the regex surface Java regex and RE2 share (character classes,
-# bounded repeats, ASCII \b — no lookaround, no backreferences), so the same
-# scrub is replayable on any engine.
+# bounded repeats, alternation, ASCII \b — no lookaround, no backreferences),
+# so the same scrub is replayable on any engine. RE2 has no lookahead, so
+# "dotted quad inside a longer dotted run" can't be *excluded* — the IP
+# pattern instead ABSORBS any dotted-numeric tail, masking "1.2.3.4.5"
+# wholly rather than leaving a dangling ".5"; bare version-shaped quads
+# ("pkg==1.2.3.44") are indistinguishable from IPs textually and do mask
+# (v-prefixed ones don't: no word boundary after "v1").
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    "ip": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
-    "phone": (r"\+?[0-9][0-9 ()\-]{7,}[0-9]", "<PHONE>"),
+    # valid octets only (0-255, no leading zeros): timestamps and long
+    # number runs like 999.999.999.999 never match
+    "ip": (
+        r"\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+        r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.[0-9]+)*\b",
+        "<IP>",
+    ),
+    # international (+CC, 8-16 digits of structure) OR anchored 3-3-4
+    # groups; year ranges ("2019 - 2024"), ISBNs and number lists
+    # ("100 200 300 400") have neither shape and pass through untouched
+    "phone": (
+        r"\+[0-9][0-9 ()\-]{6,14}[0-9]"
+        r"|\(?\b[0-9]{3}\)?[ \-][0-9]{3}[ \-][0-9]{4}\b",
+        "<PHONE>",
+    ),
 }
 
 

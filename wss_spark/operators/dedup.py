@@ -92,6 +92,18 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+def _shingles_raw(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exploded (doc_id, shingle) WITHOUT the per-doc distinct — zero-shuffle
+    projection for consumers that dedup later (or not at all)."""
+    words = F.split(normalize_text(text_col), " ")
+    wdf = docs.select(F.col(id_col).alias("doc_id"), words.alias("_ws"))
+    w = F.col("_ws")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+    return wdf.select("doc_id", F.explode(grams).alias("shingle"))
+
+
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle).
@@ -104,15 +116,7 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     (no common-subexpression elimination across a lambda boundary) —
     measured 10× slower on 300-char docs.
     """
-    words = F.split(normalize_text(text_col), " ")
-    wdf = docs.select(F.col(id_col).alias("doc_id"), words.alias("_ws"))
-    w = F.col("_ws")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
-    return (
-        wdf.select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    return _shingles_raw(docs, n, id_col, text_col).distinct()
 
 
 def jaccard_pairs(sh: DataFrame, threshold: float = 0.8,
@@ -516,20 +520,23 @@ def contamination_hits(docs: DataFrame, benchmark: DataFrame, n: int = 13,
 
     Scale shape: the benchmark side is an eval set — MBs against a 100 TB
     corpus — so its distinct-shingle set is explicitly broadcast and the
-    probe is a map-side hash join riding the same pass that shingles the
-    corpus; the only shuffle is the per-doc count. Shingling is the shared
-    JVM-side :func:`shingles` (split → slice/join transform → explode), so
-    hit semantics are identical to the near-dup tier's."""
+    probe is a map-side hash join over the RAW exploded corpus shingles
+    (no per-doc distinct first: that would shuffle every (doc, shingle)
+    pair corpus-wide before the filter). The only shuffle is the per-doc
+    distinct count over the join survivors — the contaminated sliver.
+    Shingle construction is the near-dup tier's (:func:`_shingles_raw`:
+    split → slice/join transform → explode), so hit semantics are
+    identical."""
     bench_sh = (
         shingles(benchmark, n, bench_id_col or id_col,
                  bench_text_col or text_col)
         .select("shingle").distinct()
     )
-    doc_sh = shingles(docs, n, id_col, text_col)
+    doc_sh = _shingles_raw(docs, n, id_col, text_col)
     return (
         doc_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count_distinct("shingle").alias("n_hits"))
     )
 
 
@@ -541,8 +548,12 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
     document sharing more than ``max_hits`` distinct n-grams with the
     benchmark (``max_hits=0`` = any overlap disqualifies). The flagged set
     is contaminated docs only — in practice a sliver of the corpus — so the
-    final anti-join's right side is small and AQE picks a broadcast; the
-    corpus is never scanned twice (hits come from the shingle pass)."""
+    final anti-join's right side is small and AQE picks a broadcast. The
+    corpus IS consumed twice (once shingled for hits, once as the anti-join
+    left side); pass a persisted ``docs`` when its lineage is expensive —
+    the :func:`_persist_for_self_join` contract applies to the caller
+    here because this operator cannot unpersist what the result still
+    references."""
     flagged = (
         contamination_hits(docs, benchmark, n, id_col, text_col,
                            bench_id_col, bench_text_col)
