@@ -52,3 +52,61 @@ def test_pages_to_training_corpus(spark):
     assert set(split1.values()) <= {"train", "val", "test"}
 
     docs.unpersist(); pages.unpersist(); cleaned.unpersist()
+
+
+def test_release_pipeline_decontaminate_scrub_mix_split(spark):
+    """The release tail of the training-data pipeline: cleaned docs →
+    benchmark decontamination → PII scrub → temperature-flattened source
+    mixing → deterministic split. Asserts stage invariants (containment,
+    zero residual overlap, no unmasked PII, mix determinism, split
+    partition) — fixture values are pinned by the per-operator gates."""
+    rows = []
+    for i in range(120):
+        src = f"src{i % 3}" if i % 3 else "src0"
+        txt = (f"document {i} body with shared phrase alpha beta gamma"
+               if i % 10 == 0 else
+               f"document {i} unique body mail u{i}@ex.com at 10.0.{i % 200}.9")
+        rows.append((i, txt, src))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(900, "eval question on the shared phrase alpha beta gamma end")],
+        "doc_id long, text string",
+    )
+
+    # 1. decontaminate: every doc carrying the benchmark 3-gram drops
+    clean = dedup.decontaminate(docs, bench, n=3).cache()
+    n_clean = clean.count()
+    assert n_clean == docs.count() - 12          # the i % 10 == 0 docs
+    assert dedup.contamination_hits(clean, bench, n=3).count() == 0
+
+    # 2. scrub: no email/IP survives; counts flagged the scrubbed rows
+    scrubbed = corpus.scrub_pii(clean).cache()
+    assert scrubbed.count() == n_clean
+    assert scrubbed.filter(F.col("text").contains("@")).count() == 0
+    assert scrubbed.filter(
+        (F.col("n_email") > 0) & ~F.col("text").contains("<EMAIL>")
+    ).count() == 0
+
+    # 3. mix: rates planned from observed counts, typo-guarded, deterministic
+    counts = {r["source"]: r["n"] for r in
+              scrubbed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    rates = corpus.temperature_rates(counts, temperature=5.0)
+    mixed = corpus.sample_by_source(scrubbed, rates,
+                                    known_sources=set(counts)).cache()
+    again = corpus.sample_by_source(scrubbed.repartition(7), rates,
+                                    known_sources=set(counts))
+    assert ({r["doc_id"] for r in mixed.select("doc_id").collect()}
+            == {r["doc_id"] for r in again.select("doc_id").collect()})
+    # the majority source is cut hardest by flattening
+    mixed_counts = {r["source"]: r["n"] for r in
+                    mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    maj = max(counts, key=counts.get)
+    assert mixed_counts.get(maj, 0) <= counts[maj]
+
+    # 4. split: labels partition the mixed corpus deterministically
+    split = corpus.split_by_hash(mixed)
+    got = {r["doc_id"]: r["split"] for r in split.collect()}
+    assert set(got) == {r["doc_id"] for r in mixed.select("doc_id").collect()}
+    assert set(got.values()) <= {"train", "val", "test"}
+
+    clean.unpersist(); scrubbed.unpersist(); mixed.unpersist()
