@@ -854,3 +854,34 @@ def test_decontaminate_drops_benchmark_overlap(spark):
     far = spark.createDataFrame([(1, "zzz yyy xxx www vvv")],
                                 "doc_id long, text string")
     assert dedup.decontaminate(docs, far, n=3).count() == 4
+
+
+def test_pack_sequences_stream_semantics(spark):
+    from wss_spark.operators import corpus
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (3 + i % 5))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = corpus.pack_sequences(docs, max_tokens=10, n_groups=4).collect()
+    assert len(out) == 40
+    rows = {}
+    for r in out:
+        rows.setdefault(r["grp"], []).append(r)
+    assert set(rows) <= {0, 1, 2, 3}
+    for grp, rs in rows.items():
+        rs = sorted(rs, key=lambda r: r["start_offset"])
+        # offsets are a gapless concatenation stream per group
+        expect = 0
+        for r in rs:
+            assert r["start_offset"] == expect
+            assert r["bin"] == r["start_offset"] // 10
+            expect += r["n_tokens"]
+    # deterministic under repartitioning and re-run
+    again = {(r["doc_id"], r["grp"], r["start_offset"], r["bin"])
+             for r in corpus.pack_sequences(
+                 docs.repartition(11), max_tokens=10, n_groups=4).collect()}
+    assert again == {(r["doc_id"], r["grp"], r["start_offset"], r["bin"])
+                     for r in out}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        corpus.pack_sequences(docs, max_tokens=0)

@@ -1943,6 +1943,46 @@ def llm_decontaminate(spark, sf):
     )
 
 
+def _pack_sql(max_tokens: int, n_groups: int) -> str:
+    """DuckDB replay of corpus.pack_sequences: identical hash order, group
+    assignment, window cumsum, and integer bin division — every column cast
+    to BIGINT so both engines hash the same integer renderings."""
+    h = _h28("'pack:' || CAST(doc_id AS VARCHAR)")
+    return rf"""
+    WITH staged AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             {h} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, CAST(h % {n_groups} AS BIGINT) AS grp, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY h % {n_groups}
+                                      ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  - n_tokens AS BIGINT) AS start_offset
+      FROM staged
+    )
+    SELECT doc_id, grp, n_tokens, start_offset,
+           CAST(start_offset // {max_tokens} AS BIGINT) AS bin
+    FROM c
+    """
+
+
+@_q("llm_pack_sequences", _pack_sql(64, 8))
+def llm_pack_sequences(spark, sf):
+    """GPT-style stream packing (corpus.pack_sequences): documents
+    concatenated in content-addressed hash order within hash-balanced
+    substreams, cut every max_tokens — (grp, bin) is the training window a
+    document's first token lands in. No global sort: one exchange on grp,
+    within-partition window cumsum. Exact integer oracle."""
+    return corpus.pack_sequences(
+        _t(spark, sf, "documents").select("doc_id", "text"),
+        max_tokens=64, n_groups=8,
+    )
+
+
 # ===========================================================================
 # page-family extraction gates (round 2): the DuckDB side is either a
 # record-level replay of the synthetic model (VALUES — the Spark side parses
@@ -2892,6 +2932,7 @@ _DEMOTED = [
     "llm_source_sample",
     "llm_pii_scrub",
     "llm_decontaminate",
+    "llm_pack_sequences",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the

@@ -370,3 +370,47 @@ def scrub_pii(docs: DataFrame, text_col: str = "text",
     keep = [scrubbed.alias(c) if c == text_col else F.col(c)
             for c in docs.columns]
     return docs.select(*keep, *cnt_cols)
+
+
+def pack_sequences(docs: DataFrame, max_tokens: int, n_groups: int = 256,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   salt: str = "pack") -> DataFrame:
+    """Assign documents to fixed-token training windows (GPT-style stream
+    packing): documents are concatenated in a deterministic
+    content-addressed order and the stream is cut every ``max_tokens``; a
+    document's window (``bin``) is where its first token lands — straddlers
+    continue into the next window, exactly as pretraining packers split
+    concatenated streams. Output: (doc_id, grp, n_tokens, start_offset,
+    bin); token counts are the whitespace tokens of
+    :func:`textstats.token_counts`.
+
+    Scale shape: ONE global ordering would funnel the corpus through a
+    single sort partition. Instead the stream is ``n_groups`` independent
+    substreams (``grp`` = portable hash of ``salt:id`` mod ``n_groups`` —
+    content-addressed, so membership is partitioning/run-independent),
+    each packed by a window cumsum within its group: one exchange on
+    ``grp``, within-partition sort, no skew (groups are hash-balanced).
+    At 1000 executors every group packs independently; readers consume
+    (grp, bin) windows in any order."""
+    if max_tokens <= 0 or n_groups <= 0:
+        raise ValueError(
+            f"max_tokens and n_groups must be > 0, got {max_tokens}, {n_groups}"
+        )
+    h = dedup.portable_hash28(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                           lambda x: x != ""))
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.cast("long").alias("n_tokens"),
+        h.alias("_h"),
+    ).withColumn("grp", (F.col("_h") % n_groups).cast("long"))
+    w = (Window.partitionBy("grp").orderBy("_h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return staged.select(
+        "doc_id", "grp", "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / F.lit(max_tokens)).cast("long").alias("bin"),
+    )
