@@ -885,3 +885,29 @@ def test_pack_sequences_stream_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         corpus.pack_sequences(docs, max_tokens=0)
+
+
+def test_train_logreg_learns_and_is_partition_invariant(spark):
+    # label = 1 iff f1 > 0.5, cleanly separable on one feature
+    rows = [(i, (i % 100) / 100.0, (i % 7) / 7.0, 1.0 if (i % 100) > 50 else 0.0)
+            for i in range(400)]
+    feats = spark.createDataFrame(rows, "doc_id long, f1 double, f2 double, label double")
+    w = textstats.train_logreg(feats, ["f1", "f2"], n_iter=20, lr=4.0)
+    assert len(w) == 3
+    assert w[1] > 1.0                       # the informative feature dominates
+    assert abs(w[2]) < abs(w[1])
+    # identical weights under any partition layout (exact fixed-point grads)
+    w2 = textstats.train_logreg(feats.repartition(13), ["f1", "f2"],
+                                n_iter=20, lr=4.0)
+    assert w == w2
+    # scores separate the classes
+    scored = textstats.apply_logreg(feats, w, ["f1", "f2"])
+    j = scored.join(feats.select("doc_id", "label"), "doc_id")
+    means = {r["label"]: r["m"] for r in
+             j.groupBy("label").agg(F.avg("prob").alias("m")).collect()}
+    assert means[1.0] > means[0.0] + 0.2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        textstats.train_logreg(feats.filter(F.lit(False)), ["f1", "f2"])
+    with _pytest.raises(ValueError):
+        textstats.apply_logreg(feats, [0.0, 1.0], ["f1", "f2"])

@@ -1970,6 +1970,75 @@ def _pack_sql(max_tokens: int, n_groups: int) -> str:
     """
 
 
+def _logreg_sql(n_iter: int, lr: float, label_chars: int) -> str:
+    """DuckDB replay of the WHOLE train_logreg + apply_logreg chain as
+    unrolled CTEs — both engines run gradient descent independently and
+    must produce hash-identical probabilities. Portable because the
+    gradient is an exact 1e-6 fixed-point integer sum each iteration
+    (re-synchronizing any sub-1e-6 libm exp divergence to bit-identical
+    weights), and every float op mirrors the Spark driver's order."""
+    t = "(' ' || lower(text) || ' ')"
+    stop = " + ".join(_cnt_sql(t, m) for m in textstats.LANG_MARKERS["en"])
+    z = "(b * 1.0 + wl * f_len + ww * f_word + ws * f_stop)"
+    p = f"(1.0 / (1.0 + exp(-{z})))"
+    def g(x: str) -> str:
+        return (f"SUM(CAST(round((({p} - label) * {x}) * 1000000.0) "
+                f"AS BIGINT))")
+    upd = ", ".join(
+        f"{w} - {float(lr)!r} * ((g{j} / 1000000.0) / n) AS {w}"
+        for j, w in enumerate(["b", "wl", "ww", "ws"])
+    )
+    sql = rf"""
+    WITH feats AS (
+      SELECT doc_id,
+             ROUND(least(length(text) / 500.0, 1.0), 6) AS f_len,
+             CASE WHEN (length(text) /
+                        greatest(len(list_filter(string_split_regex(text, '\s+'),
+                                                 x -> x <> '')), 1))
+                  BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END AS f_word,
+             ROUND(least(({stop}) / 5.0, 1.0), 6) AS f_stop,
+             CASE WHEN n_chars >= {label_chars} THEN 1.0 ELSE 0.0 END AS label
+      FROM documents
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM feats),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS wl, 0.0 AS ww, 0.0 AS ws)"""
+    for i in range(n_iter):
+        sql += f""",
+    w{i + 1} AS (
+      SELECT {upd} FROM (
+        SELECT {g('1.0')} AS g0, {g('f_len')} AS g1,
+               {g('f_word')} AS g2, {g('f_stop')} AS g3
+        FROM feats, w{i}) _g, nn, w{i})"""
+    sql += f"""
+    SELECT doc_id, ROUND({p}, 6) AS prob FROM feats, w{n_iter}
+    """
+    return sql
+
+
+@_q("llm_quality_classifier", _logreg_sql(5, 1.0, 350))
+def llm_quality_classifier(spark, sf):
+    """In-engine trainable quality classifier (textstats.train_logreg +
+    apply_logreg — the linear stand-in for the fasttext quality-classifier
+    stage of published web-corpus recipes): logistic regression trained by
+    batch GD over the parity-proven quality features, labels derived from
+    document length. The DuckDB oracle re-runs the ENTIRE training loop
+    independently (unrolled CTEs) — exact fixed-point gradients make the
+    weight trajectories bit-identical across engines, so the final
+    probabilities hash-match."""
+    q_len, q_word, q_stop = textstats.quality_parts(F.col("text"))
+    feats = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.round(q_len, 6).alias("f_len"),
+        q_word.alias("f_word"),
+        F.round(q_stop, 6).alias("f_stop"),
+        F.when(F.col("n_chars") >= 350, F.lit(1.0)).otherwise(F.lit(0.0))
+         .alias("label"),
+    )
+    cols = ["f_len", "f_word", "f_stop"]
+    w = textstats.train_logreg(feats, cols, n_iter=5, lr=1.0)
+    return textstats.apply_logreg(feats, w, cols)
+
+
 @_q("llm_pack_sequences", _pack_sql(64, 8))
 def llm_pack_sequences(spark, sf):
     """GPT-style stream packing (corpus.pack_sequences): documents
@@ -2933,6 +3002,7 @@ _DEMOTED = [
     "llm_pii_scrub",
     "llm_decontaminate",
     "llm_pack_sequences",
+    "llm_quality_classifier",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the

@@ -333,3 +333,73 @@ def gopher_filter(docs: DataFrame, id_col: str = "doc_id",
         (reason == "kept").alias("keep"),
         reason.alias("reject_reason"),
     )
+
+
+def train_logreg(feats: DataFrame, feature_cols: "list[str]",
+                 label_col: str = "label", n_iter: int = 5,
+                 lr: float = 1.0) -> "list[float]":
+    """In-engine trainable quality classifier (the fasttext-classifier
+    stage of published web-corpus recipes, linear here): batch
+    gradient-descent logistic regression over a features frame, returning
+    ``[bias, w_1, ..., w_k]`` for :func:`apply_logreg`.
+
+    Deterministic AND engine-portable by construction: per-row math is
+    straight-line IEEE double ops (no cross-row float accumulation), and
+    the gradient is an EXACT integer sum of 1e-6 fixed-point per-row terms
+    — long addition commutes, so the same weights come out under any
+    partition layout (the k-means trainer's trick,
+    :func:`similarity.ivf_train_centroids`), and the quantization
+    re-synchronizes engines each step: an independent replay whose
+    per-row doubles agree to <1e-6 (e.g. a SQL engine with a different
+    libm exp) yields bit-identical weight trajectories, which is what
+    the gate's unrolled-CTE DuckDB oracle does.
+
+    One corpus scan per iteration over an internally persisted projection
+    (the :func:`dedup._persist_for_self_join` lifetime contract); each
+    gradient is k+1 longs to the driver — control-plane small."""
+    from wss_spark.operators.dedup import _persist_for_self_join
+    y = F.col(label_col).cast("double")
+    staged = _persist_for_self_join(
+        feats.select(
+            *[F.col(c).cast("double").alias(c) for c in feature_cols],
+            y.alias("_y"),
+        )
+    )
+    n = staged.count()
+    if n == 0:
+        raise ValueError("train_logreg: empty features frame")
+    xs = [F.lit(1.0)] + [F.col(c) for c in feature_cols]
+    w = [0.0] * len(xs)
+    for _ in range(n_iter):
+        z = F.lit(w[0]) * xs[0]
+        for wj, xj in zip(w[1:], xs[1:]):
+            z = z + F.lit(wj) * xj
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col("_y")
+        grads = staged.select(*[
+            F.sum(F.round(err * xj * F.lit(1e6)).cast("long")).alias(f"g{j}")
+            for j, xj in enumerate(xs)
+        ]).first()
+        w = [wj - lr * ((grads[f"g{j}"] / 1e6) / n)
+             for j, wj in enumerate(w)]
+    return w
+
+
+def apply_logreg(feats: DataFrame, weights: "list[float]",
+                 feature_cols: "list[str]", id_col: str = "doc_id",
+                 out_col: str = "prob") -> DataFrame:
+    """Score documents with :func:`train_logreg` weights:
+    ``(id_col, out_col)`` with ``out_col = round(sigmoid(w·x), 6)`` — a
+    zero-shuffle projection (the classifier rides the same scan as any
+    other annotation at 100 TB)."""
+    if len(weights) != len(feature_cols) + 1:
+        raise ValueError(
+            f"want {len(feature_cols) + 1} weights (bias first), "
+            f"got {len(weights)}"
+        )
+    z = F.lit(float(weights[0])) * F.lit(1.0)
+    for wj, c in zip(weights[1:], feature_cols):
+        z = z + F.lit(float(wj)) * F.col(c).cast("double")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(F.col(id_col).alias("doc_id"),
+                        F.round(p, 6).alias(out_col))
