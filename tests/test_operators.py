@@ -823,6 +823,27 @@ def test_scrub_pii_does_not_overmask(spark):
     assert got[102]["text"] == "cn <PHONE> direct"
 
 
+def test_scrub_pii_phone_recall_shapes(spark):
+    """Phone shapes real corpora carry: bare national runs, paren without
+    space, spaced/hyphenated 3-3-4 — masked; digit runs outside E.164
+    lengths are not."""
+    from wss_spark.operators import corpus
+    rows = [
+        (0, "call 5550101234 today"),           # bare 10-digit
+        (1, "uk line 02012345678 here"),        # bare 11-digit
+        (2, "ring (555)010-1234 asap"),         # paren, no space
+        (3, "card 1234567890123456 kept"),      # 16 digits: not a phone
+        (4, "code 123456789 kept"),             # 9 digits: below E.164 floor
+    ]
+    got = {r["doc_id"]: r["text"] for r in corpus.scrub_pii(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert got[0] == "call <PHONE> today"
+    assert got[1] == "uk line <PHONE> here"
+    assert got[2] == "ring <PHONE> asap"
+    assert got[3] == "card 1234567890123456 kept"
+    assert got[4] == "code 123456789 kept"
+
+
 def test_decontaminate_drops_benchmark_overlap(spark):
     from wss_spark.operators import dedup
     docs = spark.createDataFrame(

@@ -62,7 +62,7 @@ def test_release_pipeline_decontaminate_scrub_mix_split(spark):
     partition) — fixture values are pinned by the per-operator gates."""
     rows = []
     for i in range(120):
-        src = f"src{i % 3}" if i % 3 else "src0"
+        src = "src0" if i % 4 else "src1"    # 90/30 skew: flattening must bite
         txt = (f"document {i} body with shared phrase alpha beta gamma"
                if i % 10 == 0 else
                f"document {i} unique body mail u{i}@ex.com at 10.0.{i % 200}.9")
@@ -97,11 +97,16 @@ def test_release_pipeline_decontaminate_scrub_mix_split(spark):
                                     known_sources=set(counts))
     assert ({r["doc_id"] for r in mixed.select("doc_id").collect()}
             == {r["doc_id"] for r in again.select("doc_id").collect()})
-    # the majority source is cut hardest by flattening
+    # flattening must actually bite: the majority source's rate is < 1 on
+    # this 3:1 skew, so it is STRICTLY downsampled; the minority capped at
+    # 1.0 keeps everything
+    maj = max(counts, key=counts.get)
+    mnr = min(counts, key=counts.get)
+    assert rates[maj] < 1.0 and rates[mnr] == 1.0
     mixed_counts = {r["source"]: r["n"] for r in
                     mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
-    maj = max(counts, key=counts.get)
-    assert mixed_counts.get(maj, 0) <= counts[maj]
+    assert mixed_counts.get(maj, 0) < counts[maj]
+    assert mixed_counts.get(mnr, 0) == counts[mnr]
 
     # 4. split: labels partition the mixed corpus deterministically
     split = corpus.split_by_hash(mixed)

@@ -331,12 +331,18 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
         r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.[0-9]+)*\b",
         "<IP>",
     ),
-    # international (+CC, 8-16 digits of structure) OR anchored 3-3-4
-    # groups; year ranges ("2019 - 2024"), ISBNs and number lists
-    # ("100 200 300 400") have neither shape and pass through untouched
+    # international (+CC, 8-16 digits of structure), anchored 3-3-4 groups
+    # (first separator optional so "(555)010-1234" masks), or a bare
+    # 10-15 digit run (E.164 lengths — "5550101234" masks; any bare
+    # 10-15 digit ID is phone-shaped and masks too, a documented trade).
+    # Year ranges ("2019 - 2024"), ISBNs with hyphens, and number lists
+    # ("100 200 300 400") have none of these shapes and pass through.
+    # NOT masked: dot-separated "555.010.1234" (dots collide with IPs
+    # and version strings) — callers needing it pass custom patterns.
     "phone": (
         r"\+[0-9][0-9 ()\-]{6,14}[0-9]"
-        r"|\(?\b[0-9]{3}\)?[ \-][0-9]{3}[ \-][0-9]{4}\b",
+        r"|\(?\b[0-9]{3}\)?[ \-]?[0-9]{3}[ \-][0-9]{4}\b"
+        r"|\b[0-9]{10,15}\b",
         "<PHONE>",
     ),
 }
@@ -399,8 +405,7 @@ def pack_sequences(docs: DataFrame, max_tokens: int, n_groups: int = 256,
     h = dedup.portable_hash28(
         F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
     )
-    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
-                           lambda x: x != ""))
+    toks = textstats.ws_token_count(F.col(text_col))
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         toks.cast("long").alias("n_tokens"),

@@ -80,11 +80,20 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+def ws_token_count(t: Column) -> Column:
+    """Whitespace token count of a text column — THE canonical tokenizer
+    expression every token-consuming operator shares (token_counts,
+    quality_parts, corpus.pack_sequences); the DuckDB oracles mirror it as
+    ``len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))``.
+    One definition so a parity fix here can't desynchronize call sites."""
+    return F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+
+
 def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, ws_tokens, word_tokens, n_chars): whitespace tokens and
     BPE-ish word tokens (alnum runs)."""
     t = F.col(text_col)
-    ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    ws = ws_token_count(t)
     words = F.size(F.filter(F.split(t, r"[^a-zA-Z0-9]+"), lambda x: x != ""))
     return docs.select(
         F.col(id_col).alias("doc_id"),
@@ -99,7 +108,7 @@ def quality_parts(t: Column) -> tuple[Column, Column, Column]:
     length saturation, mean word length sanity, stopword presence. The
     combined score is ``round(q_len*0.4 + q_word*0.3 + q_stop*0.3, 6)``."""
     n_chars = F.length(t)
-    n_ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    n_ws = ws_token_count(t)
     mean_wl = n_chars / F.greatest(n_ws, F.lit(1))
     stop_hits = sum(
         (occurrence_count(_padded_lower(t), m) for m in LANG_MARKERS["en"]),
@@ -354,35 +363,41 @@ def train_logreg(feats: DataFrame, feature_cols: "list[str]",
     libm exp) yields bit-identical weight trajectories, which is what
     the gate's unrolled-CTE DuckDB oracle does.
 
-    One corpus scan per iteration over an internally persisted projection
-    (the :func:`dedup._persist_for_self_join` lifetime contract); each
-    gradient is k+1 longs to the driver — control-plane small."""
-    from wss_spark.operators.dedup import _persist_for_self_join
+    One corpus scan per iteration over an internally persisted projection,
+    unpersisted before returning (this function is EAGER — the weights are
+    plain floats, nothing downstream references the cache, so unlike the
+    lazy operators it CAN own the lifetime); each gradient is k+1 longs to
+    the driver — control-plane small. Rows with a null feature or label
+    are dropped up front (a null would silently vanish from the gradient
+    numerator while still counting in the denominator)."""
     y = F.col(label_col).cast("double")
-    staged = _persist_for_self_join(
-        feats.select(
-            *[F.col(c).cast("double").alias(c) for c in feature_cols],
-            y.alias("_y"),
-        )
-    )
-    n = staged.count()
-    if n == 0:
-        raise ValueError("train_logreg: empty features frame")
-    xs = [F.lit(1.0)] + [F.col(c) for c in feature_cols]
-    w = [0.0] * len(xs)
-    for _ in range(n_iter):
-        z = F.lit(w[0]) * xs[0]
-        for wj, xj in zip(w[1:], xs[1:]):
-            z = z + F.lit(wj) * xj
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        err = p - F.col("_y")
-        grads = staged.select(*[
-            F.sum(F.round(err * xj * F.lit(1e6)).cast("long")).alias(f"g{j}")
-            for j, xj in enumerate(xs)
-        ]).first()
-        w = [wj - lr * ((grads[f"g{j}"] / 1e6) / n)
-             for j, wj in enumerate(w)]
-    return w
+    staged = feats.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        y.alias("_y"),
+    ).na.drop().persist()
+    try:
+        n = staged.count()
+        if n == 0:
+            raise ValueError(
+                "train_logreg: no rows with non-null features and label"
+            )
+        xs = [F.lit(1.0)] + [F.col(c) for c in feature_cols]
+        w = [0.0] * len(xs)
+        for _ in range(n_iter):
+            z = F.lit(w[0]) * xs[0]
+            for wj, xj in zip(w[1:], xs[1:]):
+                z = z + F.lit(wj) * xj
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            err = p - F.col("_y")
+            grads = staged.select(*[
+                F.sum(F.round(err * xj * F.lit(1e6)).cast("long")).alias(f"g{j}")
+                for j, xj in enumerate(xs)
+            ]).first()
+            w = [wj - lr * ((grads[f"g{j}"] / 1e6) / n)
+                 for j, wj in enumerate(w)]
+        return w
+    finally:
+        staged.unpersist()
 
 
 def apply_logreg(feats: DataFrame, weights: "list[float]",
