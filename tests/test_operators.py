@@ -932,3 +932,29 @@ def test_train_logreg_learns_and_is_partition_invariant(spark):
         textstats.train_logreg(feats.filter(F.lit(False)), ["f1", "f2"])
     with _pytest.raises(ValueError):
         textstats.apply_logreg(feats, [0.0, 1.0], ["f1", "f2"])
+
+
+def test_dedup_against_incremental(spark):
+    existing = _docs(spark, [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight",
+    ])
+    new = spark.createDataFrame(
+        [
+            (100, "ALPHA beta   gamma delta epsilon zeta eta theta"),  # exact (normalized)
+            (101, "alpha beta gamma delta epsilon zeta eta iota"),     # near-dup of 0
+            (102, "totally fresh content words appearing nowhere else"),
+            (103, "totally fresh content words appearing nowhere else"),  # dup WITHIN new: kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in
+            dedup.dedup_against(new, existing, n=3, k=8, threshold=0.5).collect()}
+    assert kept == {102, 103}      # within-new dups deliberately survive
+    # disjoint corpora → identity
+    assert dedup.dedup_against(
+        new.filter(F.col("doc_id") > 101), existing, n=3, k=8).count() == 2
+    # composes with dedup_exact for full hygiene
+    both = dedup.dedup_exact(
+        dedup.dedup_against(new, existing, n=3, k=8, threshold=0.5))
+    assert {r["doc_id"] for r in both.collect()} == {102}

@@ -1970,6 +1970,70 @@ def _pack_sql(max_tokens: int, n_groups: int) -> str:
     """
 
 
+def _incremental_dedup_sql() -> str:
+    """DuckDB replay of dedup.dedup_against over a mod-3 split of documents:
+    exact anti-join on md5(normalized), then the banded-LSH chain
+    cross-frame (new-side bands ⋈ existing-side bands → candidate Jaccard
+    ≥ 0.2 drops the new doc)."""
+    def sh_cte(src: str, tag: str) -> str:
+        return rf"""
+    words_{tag} AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM {src}),
+    sh_{tag} AS MATERIALIZED (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+            FROM words_{tag})),
+    hx_{tag} AS (SELECT doc_id, {_h28('shingle')} AS x FROM sh_{tag}),
+    sig_{tag} AS (SELECT doc_id, j, MIN((a * x + b) % {dedup.MINHASH_P}) AS sig
+                  FROM hx_{tag} CROSS JOIN params GROUP BY doc_id, j),
+    bands_{tag} AS (SELECT doc_id, j // 2 AS band,
+                           string_agg(sig::VARCHAR, ',' ORDER BY j) AS bkey
+                    FROM sig_{tag} GROUP BY doc_id, j // 2)"""
+    return rf"""
+    WITH docs0 AS (SELECT doc_id, text, (doc_id % 3 = 0) AS is_new
+                   FROM documents),
+    exh AS (SELECT DISTINCT md5({_NORM}) AS ch FROM docs0 WHERE NOT is_new),
+    sv AS MATERIALIZED (
+      SELECT doc_id, text FROM docs0
+      WHERE is_new AND md5({_NORM}) NOT IN (SELECT ch FROM exh)),
+    ex AS (SELECT doc_id, text FROM docs0 WHERE NOT is_new),
+    {_minhash_params_sql(8)},
+    {sh_cte('sv', 'n')},
+    {sh_cte('ex', 'o')},
+    cand AS (SELECT DISTINCT a.doc_id AS nid, b.doc_id AS oid
+             FROM bands_n a JOIN bands_o b
+               ON a.band = b.band AND a.bkey = b.bkey),
+    inter AS (SELECT c.nid, c.oid, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN sh_n a ON a.doc_id = c.nid
+              JOIN sh_o b ON b.doc_id = c.oid AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+    szn AS (SELECT doc_id, COUNT(*) AS n_a FROM sh_n GROUP BY doc_id),
+    szo AS (SELECT doc_id, COUNT(*) AS n_b FROM sh_o GROUP BY doc_id),
+    flagged AS (SELECT DISTINCT nid FROM inter
+                JOIN szn ON szn.doc_id = nid
+                JOIN szo ON szo.doc_id = oid
+                WHERE ROUND(CAST(n_inter AS DOUBLE)
+                            / (n_a + n_b - n_inter), 6) >= 0.2)
+    SELECT doc_id, text FROM sv
+    WHERE doc_id NOT IN (SELECT nid FROM flagged)
+    """
+
+
+@_q("llm_incremental_dedup", _incremental_dedup_sql())
+def llm_incremental_dedup(spark, sf):
+    """Incremental corpus maintenance (dedup.dedup_against): the new slice
+    of the corpus (doc_id % 3 == 0) deduplicated against the standing rest
+    — exact content-hash anti-join, then cross-frame banded LSH with
+    candidate-restricted Jaccard. The corpus is never re-deduplicated."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return dedup.dedup_against(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        n=3, k=8, rows_per_band=2, threshold=0.2,
+    )
+
+
 def _logreg_sql(n_iter: int, lr: float, label_chars: int) -> str:
     """DuckDB replay of the WHOLE train_logreg + apply_logreg chain as
     unrolled CTEs — both engines run gradient descent independently and
@@ -3003,6 +3067,7 @@ _DEMOTED = [
     "llm_decontaminate",
     "llm_pack_sequences",
     "llm_quality_classifier",
+    "llm_incremental_dedup",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the

@@ -561,3 +561,75 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
         .select(F.col("doc_id").alias(id_col))
     )
     return docs.join(flagged, id_col, "left_anti")
+
+
+def dedup_against(new: DataFrame, existing: DataFrame, n: int = 3,
+                  k: int = 16, rows_per_band: int = 2,
+                  threshold: float = 0.8, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Incremental corpus maintenance: the subset of ``new`` that is
+    neither an exact nor a near duplicate of anything in ``existing`` —
+    dedup a day's crawl against a standing corpus WITHOUT re-deduplicating
+    the corpus (the reference's keep-first ``drop_duplicates`` on append,
+    `独立版/(using)WeiboUserScrapy.py:447-456`, generalized to near-dups).
+
+    Semantics: duplicates WITHIN ``new`` are deliberately kept — that is
+    :func:`dedup_exact`/:func:`dedup_near`'s job; compose
+    ``dedup_against(dedup_near(new), existing)`` for both. Exact drop is
+    an anti-join on the md5 of normalized text; near drop follows the
+    banded-LSH chain cross-frame: bands of the exact survivors equi-join
+    bands of the corpus, candidate pairs verify exact Jaccard on
+    candidate-restricted shingles only, and any collision ≥ ``threshold``
+    drops the new doc.
+
+    Scale shape: everything keyed on content hashes or (band, band_key) —
+    plain co-locatable equi-joins; the new side is a sliver, so every
+    aggregate over it is small. The existing side is scanned to rebuild
+    its hashes/bands here for self-containedness — at 100 TB those are
+    precomputed artifacts of the corpus build (the signature/band tables
+    this module already emits); store them and substitute the scans.
+    The per-candidate Jaccard never touches non-colliding docs."""
+    nd = _persist_for_self_join(
+        new.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
+    ex = existing.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    ex_hashes = ex.select(F.md5(normalize_text("text")).alias("content_hash"))
+    survivors = _persist_for_self_join(
+        nd.withColumn("content_hash", F.md5(normalize_text("text")))
+        .join(ex_hashes, "content_hash", "left_anti")
+        .drop("content_hash")
+    )
+
+    sh_new = _persist_for_self_join(shingles(survivors, n))
+    sh_old = _persist_for_self_join(shingles(ex, n))
+    bands_new = lsh_bands(minhash_signatures(sh_new, k), rows_per_band)
+    bands_old = lsh_bands(minhash_signatures(sh_old, k), rows_per_band)
+    cand = (
+        bands_new.alias("a")
+        .join(bands_old.alias("b"), ["band", "band_key"])
+        .select(F.col("a.doc_id").alias("nid"), F.col("b.doc_id").alias("oid"))
+        .distinct()
+    )
+    inter = (
+        cand.join(sh_new.select(F.col("doc_id").alias("nid"), "shingle"), "nid")
+        .join(sh_old.select(F.col("doc_id").alias("oid"), "shingle"),
+              ["oid", "shingle"])
+        .groupBy("nid", "oid").agg(F.count("*").alias("n_inter"))
+    )
+    sz_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("n_a"))
+    sz_old = sh_old.groupBy("doc_id").agg(F.count("*").alias("n_b"))
+    flagged = (
+        inter.join(sz_new.select(F.col("doc_id").alias("nid"), "n_a"), "nid")
+        .join(sz_old.select(F.col("doc_id").alias("oid"), "n_b"), "oid")
+        .filter(
+            F.round(F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6)
+            >= threshold
+        )
+        .select(F.col("nid").alias("doc_id")).distinct()
+    )
+    return survivors.join(flagged, "doc_id", "left_anti").select(
+        F.col("doc_id").alias(id_col), F.col("text").alias(text_col)
+    )
