@@ -958,3 +958,8 @@ def test_dedup_against_incremental(spark):
     both = dedup.dedup_exact(
         dedup.dedup_against(new, existing, n=3, k=8, threshold=0.5))
     assert {r["doc_id"] for r in both.collect()} == {102}
+    # the full input schema passes through (semi-join, not a projection)
+    wide = new.withColumn("source", F.lit("crawl"))
+    out = dedup.dedup_against(wide, existing, n=3, k=8, threshold=0.5)
+    assert out.columns == ["doc_id", "text", "source"]
+    assert out.filter(F.col("source") != "crawl").count() == 0

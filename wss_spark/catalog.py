@@ -1995,7 +1995,8 @@ def _incremental_dedup_sql() -> str:
     exh AS (SELECT DISTINCT md5({_NORM}) AS ch FROM docs0 WHERE NOT is_new),
     sv AS MATERIALIZED (
       SELECT doc_id, text FROM docs0
-      WHERE is_new AND md5({_NORM}) NOT IN (SELECT ch FROM exh)),
+      WHERE is_new AND NOT EXISTS (
+        SELECT 1 FROM exh WHERE exh.ch = md5({_NORM}))),
     ex AS (SELECT doc_id, text FROM docs0 WHERE NOT is_new),
     {_minhash_params_sql(8)},
     {sh_cte('sv', 'n')},
@@ -2016,7 +2017,7 @@ def _incremental_dedup_sql() -> str:
                 WHERE ROUND(CAST(n_inter AS DOUBLE)
                             / (n_a + n_b - n_inter), 6) >= 0.2)
     SELECT doc_id, text FROM sv
-    WHERE doc_id NOT IN (SELECT nid FROM flagged)
+    WHERE NOT EXISTS (SELECT 1 FROM flagged WHERE flagged.nid = sv.doc_id)
     """
 
 

@@ -584,18 +584,23 @@ def dedup_against(new: DataFrame, existing: DataFrame, n: int = 3,
 
     Scale shape: everything keyed on content hashes or (band, band_key) —
     plain co-locatable equi-joins; the new side is a sliver, so every
-    aggregate over it is small. The existing side is scanned to rebuild
-    its hashes/bands here for self-containedness — at 100 TB those are
-    precomputed artifacts of the corpus build (the signature/band tables
-    this module already emits); store them and substitute the scans.
-    The per-candidate Jaccard never touches non-colliding docs."""
-    nd = _persist_for_self_join(
-        new.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    )
+    aggregate over it is small. Bands come from the wide no-shuffle path
+    (:func:`lsh_bands_wide` — a pure projection, byte-identical keys to
+    the tall path), corpus-side shingle sizes are computed only for
+    candidate oids (semi-join first, then the aggregate is sliver-sized),
+    and the result is a semi-join of the ORIGINAL ``new`` frame against
+    the surviving ids — the full input schema passes through. The
+    existing side is scanned to rebuild its hashes/bands here for
+    self-containedness — at 100 TB those are precomputed artifacts of the
+    corpus build (the signature/band tables this module already emits);
+    store them and substitute the scans."""
+    nd = new.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"))
     ex = existing.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     ex_hashes = ex.select(F.md5(normalize_text("text")).alias("content_hash"))
+    # survivors feeds the shingle pass AND the final keep-id set
     survivors = _persist_for_self_join(
         nd.withColumn("content_hash", F.md5(normalize_text("text")))
         .join(ex_hashes, "content_hash", "left_anti")
@@ -604,22 +609,29 @@ def dedup_against(new: DataFrame, existing: DataFrame, n: int = 3,
 
     sh_new = _persist_for_self_join(shingles(survivors, n))
     sh_old = _persist_for_self_join(shingles(ex, n))
-    bands_new = lsh_bands(minhash_signatures(sh_new, k), rows_per_band)
-    bands_old = lsh_bands(minhash_signatures(sh_old, k), rows_per_band)
-    cand = (
+    bands_new = lsh_bands_wide(minhash_signatures_wide(sh_new, k), k,
+                               rows_per_band)
+    bands_old = lsh_bands_wide(minhash_signatures_wide(sh_old, k), k,
+                               rows_per_band)
+    cand = _persist_for_self_join(
         bands_new.alias("a")
         .join(bands_old.alias("b"), ["band", "band_key"])
         .select(F.col("a.doc_id").alias("nid"), F.col("b.doc_id").alias("oid"))
         .distinct()
     )
+    # only colliding corpus docs are shingle-counted: semi-join first
+    sh_old_c = _persist_for_self_join(
+        sh_old.join(cand.select(F.col("oid").alias("doc_id")).distinct(),
+                    "doc_id", "left_semi")
+    )
     inter = (
         cand.join(sh_new.select(F.col("doc_id").alias("nid"), "shingle"), "nid")
-        .join(sh_old.select(F.col("doc_id").alias("oid"), "shingle"),
+        .join(sh_old_c.select(F.col("doc_id").alias("oid"), "shingle"),
               ["oid", "shingle"])
         .groupBy("nid", "oid").agg(F.count("*").alias("n_inter"))
     )
     sz_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("n_a"))
-    sz_old = sh_old.groupBy("doc_id").agg(F.count("*").alias("n_b"))
+    sz_old = sh_old_c.groupBy("doc_id").agg(F.count("*").alias("n_b"))
     flagged = (
         inter.join(sz_new.select(F.col("doc_id").alias("nid"), "n_a"), "nid")
         .join(sz_old.select(F.col("doc_id").alias("oid"), "n_b"), "oid")
@@ -630,6 +642,6 @@ def dedup_against(new: DataFrame, existing: DataFrame, n: int = 3,
         )
         .select(F.col("nid").alias("doc_id")).distinct()
     )
-    return survivors.join(flagged, "doc_id", "left_anti").select(
-        F.col("doc_id").alias(id_col), F.col("text").alias(text_col)
-    )
+    keep = survivors.select("doc_id").join(flagged, "doc_id", "left_anti")
+    return new.join(keep.select(F.col("doc_id").alias(id_col)),
+                    id_col, "left_semi")
