@@ -963,3 +963,17 @@ def test_dedup_against_incremental(spark):
     out = dedup.dedup_against(wide, existing, n=3, k=8, threshold=0.5)
     assert out.columns == ["doc_id", "text", "source"]
     assert out.filter(F.col("source") != "crawl").count() == 0
+
+
+def test_length_quantiles_exact(spark):
+    docs = spark.createDataFrame(
+        [("a", v) for v in [10, 20, 30, 40]] + [("b", 100)],
+        "source string, n_chars long",
+    )
+    got = {r["source"]: r for r in
+           textstats.length_quantiles(docs, qs=(0.5, 0.9)).collect()}
+    # rank = q*(n-1) linear interpolation: n=4 -> p50 at rank 1.5 = 25
+    assert got["a"]["n_docs"] == 4
+    assert got["a"]["q_50"] == 25.0
+    assert abs(got["a"]["q_90"] - 37.0) < 1e-9   # rank 2.7 -> 30 + 0.7*10
+    assert got["b"]["q_50"] == 100.0 and got["b"]["q_90"] == 100.0

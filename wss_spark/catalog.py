@@ -1970,6 +1970,25 @@ def _pack_sql(max_tokens: int, n_groups: int) -> str:
     """
 
 
+@_q(
+    "ts_length_quantiles",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS q_50,
+           ROUND(quantile_cont(n_chars, 0.9), 6) AS q_90,
+           ROUND(quantile_cont(n_chars, 0.99), 6) AS q_99
+    FROM documents GROUP BY source
+    """,
+)
+def ts_length_quantiles(spark, sf):
+    """Per-source length-distribution profile (textstats.length_quantiles):
+    EXACT percentiles (rank = q·(n−1) linear interpolation — the ANSI
+    percentile_cont definition both engines implement), the before/after
+    sanity check of every corpus cleaning stage."""
+    return textstats.length_quantiles(_t(spark, sf, "documents"))
+
+
 def _incremental_dedup_sql() -> str:
     """DuckDB replay of dedup.dedup_against over a mod-3 split of documents:
     exact anti-join on md5(normalized), then the banded-LSH chain
@@ -3069,6 +3088,7 @@ _DEMOTED = [
     "llm_pack_sequences",
     "llm_quality_classifier",
     "llm_incremental_dedup",
+    "ts_length_quantiles",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the

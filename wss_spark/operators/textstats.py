@@ -418,3 +418,26 @@ def apply_logreg(feats: DataFrame, weights: "list[float]",
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return feats.select(F.col(id_col).alias("doc_id"),
                         F.round(p, 6).alias(out_col))
+
+
+def length_quantiles(docs: DataFrame, group_col: str = "source",
+                     value_col: str = "n_chars",
+                     qs: "tuple[float, ...]" = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Per-group distribution profile of a numeric column — the sanity
+    check every corpus build runs before/after each cleaning stage (did
+    the filter nuke the long tail? is one source all boilerplate-short?).
+    Returns (group, n_docs, q_50, q_90, q_99, ...) using EXACT percentiles
+    (rank = q·(n−1), linear interpolation — the ANSI percentile_cont
+    definition, so any engine replays it bit-for-bit on integer inputs).
+
+    Exact, not approx: ``percentile_approx`` would be cheaper at extreme
+    cardinality but is sketch-dependent and un-oracle-able; the exact
+    aggregate is one partial-combined exchange per group and the group
+    count (sources) is small. Rounded to 6 dp for hash comparability."""
+    aggs = [F.count("*").alias("n_docs")] + [
+        F.round(F.expr(
+            f"percentile({value_col}, {float(q)!r})"
+        ), 6).alias(f"q_{int(round(q * 100))}")
+        for q in qs
+    ]
+    return docs.groupBy(group_col).agg(*aggs)
