@@ -164,3 +164,11 @@ def test_run_stages_checkpoint_resume(spark, tmp_path):
              corpus.run_stages(spark, docs, out_dir, stages).collect()}
     assert calls == {"scrub": 1, "mix": 1, "split": 2}
     assert third == first
+
+    # invalidating a MID stage cascades: split must not serve output
+    # derived from the replaced mix artifact
+    os.remove(os.path.join(out_dir, "01_mix", "_COMMIT.json"))
+    fourth = {tuple(r) for r in
+              corpus.run_stages(spark, docs, out_dir, stages).collect()}
+    assert calls == {"scrub": 1, "mix": 2, "split": 3}
+    assert fourth == first

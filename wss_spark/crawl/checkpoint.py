@@ -47,6 +47,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wss_spark.fsutil import atomic_json_marker
+
 
 def _wave_dir(root: str, wave: int) -> str:
     return os.path.join(root, "snapshots", f"wave={wave:05d}")
@@ -64,10 +66,7 @@ def write_snapshot(root: str, wave: int, frontier: DataFrame,
     frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
     bloom.write.mode("overwrite").parquet(os.path.join(d, "bloom"))
     manifest = {"wave": wave, "committed_at": time.time(), **stats}
-    tmp = os.path.join(d, "_COMMIT.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(d, "_COMMIT.json"))  # commit point
+    atomic_json_marker(os.path.join(d, "_COMMIT.json"), manifest)  # commit point
     return Snapshot(wave, manifest)
 
 
@@ -278,11 +277,8 @@ def compact_seen_keys(spark: SparkSession, root: str, lo: int, hi: int) -> bool:
         .partitionBy("bucket")
         .parquet(seg_dir)
     )
-    marker = {"lo": lo, "hi": hi, "committed_at": time.time()}
-    tmp = os.path.join(seg_dir, "_SEG_COMMIT.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(marker, f)
-    os.replace(tmp, os.path.join(seg_dir, "_SEG_COMMIT.json"))
+    atomic_json_marker(os.path.join(seg_dir, "_SEG_COMMIT.json"),
+                       {"lo": lo, "hi": hi, "committed_at": time.time()})
     return True
 
 

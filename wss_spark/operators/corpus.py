@@ -432,14 +432,24 @@ def run_stages(spark, docs: DataFrame, out_dir: str,
     `独立版/(using)WeiboUserScrapy.py:535-537`, generalized to stage
     granularity).
 
-    Commit protocol (Iceberg-shaped, same as the crawl checkpoints): data
-    files are written first, the ``_COMMIT.json`` marker renamed into place
-    last (atomic), so a crash mid-stage leaves an uncommitted directory the
-    resume overwrites. Each committed stage's output is read back from
-    parquet before the next stage, so downstream stages always consume the
+    Commit protocol (Iceberg-shaped, shared with the crawl checkpoints via
+    :func:`wss_spark.fsutil.atomic_json_marker`): data files are written
+    first, the ``_COMMIT.json`` marker renamed into place last (atomic),
+    so a crash mid-stage leaves an uncommitted directory the resume
+    overwrites. Each committed stage's output is read back from parquet
+    before the next stage, so downstream stages always consume the
     materialized artifact — resumed and fresh runs execute identical
     plans over identical bytes. Stage callables are invoked ONLY for
-    uncommitted stages (a resume never re-plans committed work).
+    uncommitted stages (a resume never re-plans committed work), and
+    invalidation CASCADES: once any stage re-runs, every later stage's
+    marker is ignored and it re-runs too — deleting a mid-pipeline marker
+    can never serve downstream outputs derived from the stale upstream.
+    The row count in each marker rides the write job itself (an
+    ``Observation``), not a second scan.
+
+    Markers are local-POSIX (``os.replace`` atomicity); for an object
+    store / HDFS ``out_dir``, route markers through the Hadoop FileSystem
+    API — see :mod:`wss_spark.fsutil`.
 
     ``stages`` is ``[(name, fn)]`` with ``fn: DataFrame -> DataFrame`` —
     compose from the gated operators, e.g.::
@@ -451,23 +461,29 @@ def run_stages(spark, docs: DataFrame, out_dir: str,
             ("split",   split_by_hash),
         ])
     """
-    import json
     import os
     import time
 
+    from pyspark.sql import Observation
+
+    from wss_spark.fsutil import atomic_json_marker
+
     cur = docs
+    upstream_reran = False
     for i, (name, fn) in enumerate(stages):
         d = os.path.join(out_dir, f"{i:02d}_{name}")
         data = os.path.join(d, "data")
         marker = os.path.join(d, "_COMMIT.json")
-        if not os.path.exists(marker):
-            out = fn(cur)
+        if upstream_reran or not os.path.exists(marker):
+            if os.path.exists(marker):
+                os.remove(marker)    # stale: derived from replaced upstream
+            upstream_reran = True
+            obs = Observation(f"run_stages_{i}_{name}")
+            out = fn(cur).observe(obs, F.count(F.lit(1)).alias("rows"))
             out.write.mode("overwrite").parquet(data)
-            n = spark.read.parquet(data).count()
-            tmp = marker + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"stage": name, "index": i, "rows": n,
-                           "committed_at": time.time()}, f)
-            os.replace(tmp, marker)
+            atomic_json_marker(marker, {
+                "stage": name, "index": i, "rows": obs.get["rows"],
+                "committed_at": time.time(),
+            })
         cur = spark.read.parquet(data)
     return cur

@@ -431,13 +431,26 @@ def length_quantiles(docs: DataFrame, group_col: str = "source",
     definition, so any engine replays it bit-for-bit on integer inputs).
 
     Exact, not approx: ``percentile_approx`` would be cheaper at extreme
-    cardinality but is sketch-dependent and un-oracle-able; the exact
-    aggregate is one partial-combined exchange per group and the group
-    count (sources) is small. Rounded to 6 dp for hash comparability."""
-    aggs = [F.count("*").alias("n_docs")] + [
-        F.round(F.expr(
-            f"percentile({value_col}, {float(q)!r})"
-        ), 6).alias(f"q_{int(round(q * 100))}")
-        for q in qs
-    ]
-    return docs.groupBy(group_col).agg(*aggs)
+    cardinality but is sketch-dependent and un-oracle-able. ONE aggregation
+    buffer serves every requested quantile (the array form of
+    ``percentile``) — per-quantile aggregates would build, shuffle, and
+    merge the same per-group value map once per q. Rounded to 6 dp for
+    hash comparability."""
+    def label(q: float) -> str:
+        pct = q * 100.0
+        if abs(pct - round(pct)) < 1e-9:
+            return f"q_{int(round(pct))}"           # 0.5 -> q_50
+        return "q_" + f"{q:g}".replace("0.", "")    # 0.999 -> q_999
+    names = [label(q) for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantile labels collide: {names}")
+    arr = F.percentile(F.col(value_col).cast("double"),
+                       F.array(*[F.lit(float(q)) for q in qs]))
+    agg = docs.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"), arr.alias("_qs")
+    )
+    return agg.select(
+        group_col, "n_docs",
+        *[F.round(F.element_at("_qs", i + 1), 6).alias(names[i])
+          for i in range(len(qs))],
+    )
