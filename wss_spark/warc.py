@@ -1,0 +1,255 @@
+"""WARC segment egress + ingest for Common-Crawl-style pages.
+
+The reference fetches pages live over HTTP (独立版/WeiboCommentScrapy.py:70's
+requests.get loop); at web scale the corpus arrives instead as Common Crawl
+WARC segments. This module closes that ingestion boundary both ways:
+
+- ``pages_to_warc`` packs the pages table into WARC/1.0 segment blobs —
+  one ``response`` record per fetched page, a leading ``warcinfo`` record
+  per segment, optional per-record gzip members exactly like Common Crawl's
+  ``.warc.gz`` layout (each record its own gzip member, so a reader can
+  seek to a record offset and decompress just that member).
+- ``parse_warc`` re-derives the pages-table shape (url, warc_ts, html)
+  from raw segment bytes, skipping non-response records.
+
+Both directions are Arrow-batched (applyInPandas / mapInPandas): binary
+record framing is genuinely inexpressible with built-in SQL functions, so
+this is the sanctioned Pandas-UDF slow path, scoped to the format boundary
+only — everything downstream of ``parse_warc`` is plain DataFrame ops.
+
+Scale notes (100 TB): segments are self-contained blobs, so parsing is
+embarrassingly parallel — ``mapInPandas`` over whatever partitioning the
+blob store gives, no shuffle, and the scan's only read columns are
+(segment_id, data). Packing has exactly one hash shuffle (groupBy
+segment_id) which replaces the final-write repartition any bulk export
+needs anyway; record order within a segment is pinned (warc_ts, url) so
+output bytes are deterministic under any input partitioning.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+from datetime import datetime
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CRLF = b"\r\n"
+_SOFTWARE = b"wss_spark.warc/1.0"
+
+PARSED_SCHEMA = (
+    "segment_id string, url string, warc_ts timestamp, html binary, "
+    "http_status int, content_type string"
+)
+
+SEGMENT_SCHEMA = "segment_id string, n_records long, data binary"
+
+
+def _iso(ts: datetime) -> bytes:
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode("ascii")
+
+
+def _record(headers: list[tuple[bytes, bytes]], payload: bytes) -> bytes:
+    head = b"WARC/1.0" + _CRLF
+    head += b"".join(k + b": " + v + _CRLF for k, v in headers)
+    head += b"Content-Length: " + str(len(payload)).encode("ascii") + _CRLF
+    return head + _CRLF + payload + _CRLF + _CRLF
+
+
+def _gzip_member(raw: bytes) -> bytes:
+    # mtime=0 → byte-deterministic members (gzip stamps wall time otherwise)
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+        g.write(raw)
+    return buf.getvalue()
+
+
+def render_warc_segment(
+    records: list[tuple[str, datetime, bytes]],
+    segment_id: str,
+    gzip_members: bool = False,
+) -> bytes:
+    """Render one WARC/1.0 segment: a warcinfo record, then one response
+    record per (url, warc_ts, html) tuple, in the given order. Pure
+    function — shared by the Spark packer and the tests' byte fixtures."""
+    info_ts = min((ts for _, ts, _ in records), default=datetime(1970, 1, 1))
+    info_payload = (
+        b"software: " + _SOFTWARE + _CRLF + b"format: WARC File Format 1.0" + _CRLF
+    )
+    out = [
+        _record(
+            [
+                (b"WARC-Type", b"warcinfo"),
+                (b"WARC-Date", _iso(info_ts)),
+                (b"WARC-Filename", segment_id.encode("utf-8")),
+                (b"WARC-Record-ID", _rid(segment_id.encode("utf-8"))),
+                (b"Content-Type", b"application/warc-fields"),
+            ],
+            info_payload,
+        )
+    ]
+    for url, ts, html in records:
+        http = (
+            b"HTTP/1.1 200 OK" + _CRLF
+            + b"Content-Type: text/html; charset=UTF-8" + _CRLF
+            + b"Content-Length: " + str(len(html)).encode("ascii") + _CRLF
+            + _CRLF + html
+        )
+        out.append(
+            _record(
+                [
+                    (b"WARC-Type", b"response"),
+                    (b"WARC-Target-URI", url.encode("utf-8")),
+                    (b"WARC-Date", _iso(ts)),
+                    (b"WARC-Record-ID", _rid(url.encode("utf-8") + _iso(ts))),
+                    (b"Content-Type", b"application/http; msgtype=response"),
+                ],
+                http,
+            )
+        )
+    if gzip_members:
+        return b"".join(_gzip_member(r) for r in out)
+    return b"".join(out)
+
+
+def _rid(key: bytes) -> bytes:
+    return b"<urn:md5:" + hashlib.md5(key).hexdigest().encode("ascii") + b">"
+
+
+def pages_to_warc(
+    pages: DataFrame,
+    n_segments: int,
+    gzip_members: bool = False,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> DataFrame:
+    """Pack a pages table into WARC segment blobs:
+    ``(segment_id string, n_records long, data binary)``.
+
+    Segment assignment is a deterministic hash of the url (crc32 % n), so
+    the same input yields the same segments under any partitioning; records
+    within a segment are ordered (warc_ts, url). One shuffle (the groupBy),
+    then each segment renders map-side in one Arrow batch.
+    """
+    width = len(str(max(n_segments - 1, 1)))
+    gz = bool(gzip_members)
+
+    tagged = pages.select(
+        F.format_string(
+            f"segment-%0{width}d.warc" + (".gz" if gz else ""),
+            (F.crc32(F.col(url_col).cast("string")) % n_segments).cast("int"),
+        ).alias("segment_id"),
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts"),
+        F.col(html_col).alias("html"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
+        recs = [
+            (u, ts.to_pydatetime(), bytes(h))
+            for u, ts, h in zip(pdf["url"], pdf["warc_ts"], pdf["html"])
+        ]
+        sid = pdf["segment_id"].iloc[0]
+        blob = render_warc_segment(recs, sid, gzip_members=gz)
+        return pd.DataFrame(
+            {"segment_id": [sid], "n_records": [len(recs)], "data": [blob]}
+        )
+
+    return tagged.groupBy("segment_id").applyInPandas(pack, schema=SEGMENT_SCHEMA)
+
+
+def _split_members(blob: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip blob, or pass through raw
+    WARC bytes."""
+    if blob[:2] == b"\x1f\x8b":
+        return gzip.decompress(blob)  # handles concatenated members
+    return blob
+
+
+def _parse_segment(segment_id: str, blob: bytes, strict: bool) -> Iterator[dict]:
+    data = _split_members(blob)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos:pos + 5] != b"WARC/":
+            if strict:
+                raise ValueError(
+                    f"{segment_id}: bad record framing at offset {pos}"
+                )
+            break
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            if strict:
+                raise ValueError(f"{segment_id}: unterminated header block")
+            break
+        headers: dict[str, str] = {}
+        for line in data[pos:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode("ascii").lower()] = v.strip().decode(
+                "utf-8", "replace"
+            )
+        length = int(headers["content-length"])
+        body_start = hdr_end + 4
+        payload = data[body_start:body_start + length]
+        if len(payload) != length:
+            if strict:
+                raise ValueError(f"{segment_id}: truncated record payload")
+            break
+        pos = body_start + length + 4  # skip the \r\n\r\n record separator
+        if headers.get("warc-type") != "response":
+            continue
+        http_end = payload.find(_CRLF + _CRLF)
+        status_line = payload[:payload.find(_CRLF)].split(b" ")
+        status = int(status_line[1]) if len(status_line) > 1 else None
+        ctype = None
+        for line in payload[:http_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"content-type":
+                ctype = v.strip().decode("ascii", "replace")
+        yield {
+            "segment_id": segment_id,
+            "url": headers.get("warc-target-uri"),
+            "warc_ts": datetime.strptime(
+                headers["warc-date"], "%Y-%m-%dT%H:%M:%SZ"
+            ),
+            "html": payload[http_end + 4:],
+            "http_status": status,
+            "content_type": ctype,
+        }
+
+
+def parse_warc(
+    segments: DataFrame,
+    data_col: str = "data",
+    id_col: str = "segment_id",
+    strict: bool = True,
+) -> DataFrame:
+    """WARC segment blobs → pages-shaped rows:
+    ``(segment_id, url, warc_ts, html, http_status, content_type)``.
+
+    Non-response records (warcinfo, request, metadata) are skipped. With
+    ``strict`` (default) corrupt framing raises; ``strict=False`` stops at
+    the first bad record of a segment and keeps what parsed (the Common
+    Crawl truncated-tail tolerance). No shuffle — pure mapInPandas over the
+    input's own partitioning; only (id, data) columns are read."""
+    src = segments.select(
+        F.col(id_col).alias("segment_id"), F.col(data_col).alias("data")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "segment_id", "url", "warc_ts", "html", "http_status", "content_type",
+        ]
+        for pdf in batches:
+            rows: list[dict] = []
+            for sid, blob in zip(pdf["segment_id"], pdf["data"]):
+                rows.extend(_parse_segment(sid, bytes(blob), strict))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(gen, schema=PARSED_SCHEMA)
