@@ -1,0 +1,98 @@
+"""CCNet-style bigram-LM perplexity (corpus.train_bigram_lm /
+score_perplexity / perplexity_filter).
+
+The gate `llm_perplexity` value-oracles train+score end-to-end against a
+DuckDB CTE replay; these tests pin the semantics the oracle can't see:
+an independent imperative replica on a tiny corpus (OOV → <unk>, empty
+and null text score finitely), partition invariance, and the filter's
+schema-preserving keep set.
+"""
+
+import math
+from collections import Counter
+
+import pytest
+
+from wss_spark.operators import corpus
+
+
+TRAIN = ["the cat sat", "the cat ran", "a dog sat"]
+
+
+def _replica():
+    toks = [d.split() for d in TRAIN]
+    uni = Counter(w for t in toks for w in t)
+    vocab = {w for w, c in uni.items() if c >= 2}
+    v = len(vocab) + 2
+
+    def mapped(words):
+        return ["<s>"] + [w if w in vocab else "<unk>" for w in words] + ["</s>"]
+
+    bic = Counter()
+    for t in toks:
+        m = mapped(t)
+        for a, b in zip(m, m[1:]):
+            bic[(a, b)] += 1
+    ctx = Counter()
+    for (a, _), c in bic.items():
+        ctx[a] += c
+
+    def ppl(text):
+        m = mapped(text.split() if text else [])
+        lps = [
+            math.log((bic.get((a, b), 0) + 1.0) / (ctx.get(a, 0) + v))
+            for a, b in zip(m, m[1:])
+        ]
+        return math.exp(-sum(lps) / len(lps))
+
+    return v, ppl
+
+
+@pytest.fixture(scope="module")
+def lm(spark):
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN)], "doc_id long, text string"
+    )
+    lm = corpus.train_bigram_lm(train, min_count=2, alpha=1.0)
+    yield lm
+    lm.unpersist()
+
+
+def test_matches_imperative_replica(spark, lm):
+    v, ppl = _replica()
+    assert lm.v == v
+    score = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zebra zebra"), (12, ""), (13, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["ppl"] for r in corpus.score_perplexity(score, lm).collect()}
+    want = {10: ppl("the cat sat"), 11: ppl("zebra zebra"), 12: ppl(""), 13: ppl("")}
+    assert set(got) == set(want)  # null/empty text still scores
+    for k, w in want.items():
+        assert got[k] == pytest.approx(w, abs=1e-12)
+    # in-vocab fluent text beats all-OOV text beats empty text
+    assert got[10] < got[11] < got[12]
+
+
+def test_partition_invariance(spark, lm):
+    score = spark.createDataFrame(
+        [(i, f"the cat sat {'x' * (i % 3)}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted((r["doc_id"], round(r["ppl"], 12))
+               for r in corpus.score_perplexity(score, lm).collect())
+    b = sorted((r["doc_id"], round(r["ppl"], 12))
+               for r in corpus.score_perplexity(score.repartition(11), lm).collect())
+    assert a == b
+
+
+def test_filter_keeps_fluent_schema_preserving(spark, lm):
+    _, ppl = _replica()
+    score = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zebra zebra zebra")],
+        "doc_id long, text string",
+    )
+    cut = (ppl("the cat sat") + ppl("zebra zebra zebra")) / 2
+    kept = corpus.perplexity_filter(score, lm, max_ppl=cut)
+    assert kept.columns == score.columns
+    assert [r["doc_id"] for r in kept.collect()] == [10]

