@@ -96,3 +96,48 @@ def test_filter_keeps_fluent_schema_preserving(spark, lm):
     kept = corpus.perplexity_filter(score, lm, max_ppl=cut)
     assert kept.columns == score.columns
     assert [r["doc_id"] for r in kept.collect()] == [10]
+
+
+def test_char_unit_matches_replica_on_cjk(spark):
+    train_texts = ["猫坐下", "猫跑了", "狗坐下"]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    lm = corpus.train_bigram_lm(train, min_count=2, alpha=1.0, unit="char")
+    assert lm.unit == "char"
+
+    uni = Counter(ch for t in train_texts for ch in t)
+    vocab = {ch for ch, c in uni.items() if c >= 2}
+    v = len(vocab) + 2
+    assert lm.v == v
+
+    def mapped(text):
+        return ["<s>"] + [c if c in vocab else "<unk>" for c in text] + ["</s>"]
+
+    bic = Counter()
+    for t in train_texts:
+        m = mapped(t)
+        for a, b in zip(m, m[1:]):
+            bic[(a, b)] += 1
+    ctx = Counter()
+    for (a, _), c in bic.items():
+        ctx[a] += c
+
+    def ppl(text):
+        m = mapped(text)
+        lps = [
+            math.log((bic.get((a, b), 0) + 1.0) / (ctx.get(a, 0) + v))
+            for a, b in zip(m, m[1:])
+        ]
+        return math.exp(-sum(lps) / len(lps))
+
+    score = spark.createDataFrame(
+        [(10, "猫坐下"), (11, "马马"), (12, "猫 坐")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["ppl"] for r in corpus.score_perplexity(score, lm).collect()}
+    # doc 12: the space is not a token — same chars as "猫坐" contiguous
+    want = {10: ppl("猫坐下"), 11: ppl("马马"), 12: ppl("猫坐")}
+    for k, w in want.items():
+        assert got[k] == pytest.approx(w, abs=1e-12)
+    assert got[10] < got[11]  # fluent beats OOV
+    lm.unpersist()

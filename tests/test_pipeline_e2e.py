@@ -172,3 +172,61 @@ def test_run_stages_checkpoint_resume(spark, tmp_path):
               corpus.run_stages(spark, docs, out_dir, stages).collect()}
     assert calls == {"scrub": 1, "mix": 2, "split": 3}
     assert fourth == first
+
+
+def test_warc_to_perplexity_filtered_corpus(spark):
+    """The full crawl-to-corpus boundary chain: WARC segment bytes →
+    parse → extraction → bigram-LM perplexity filter. Extraction over
+    WARC-round-tripped pages must equal extraction over the originals
+    (byte-identical html in, identical rows out), and the filter output
+    must be a deterministic, containment-sound fluent subset."""
+    from wss_spark import warc
+
+    pages = build_pages_df(spark, 10, seed=11).cache()
+    segs = warc.pages_to_warc(pages, n_segments=3, gzip_members=True)
+    rehydrated = warc.parse_warc(segs).select("url", "warc_ts", "html").cache()
+    assert rehydrated.count() == pages.count()
+
+    def comment_rows(p):
+        return sorted(
+            tuple(r) for r in extract_entities(p)["comments"]
+            .select("comment_id", "content", "like_count").collect()
+        )
+
+    assert comment_rows(rehydrated) == comment_rows(pages)
+
+    docs = (
+        extract_entities(rehydrated)["comments"]
+        .select(F.col("comment_id").alias("doc_id"),
+                F.col("content").alias("text"))
+        # comments surface on both the main page and the comment pages —
+        # one doc per comment id for the keyed scoring below
+        .dropDuplicates(["doc_id"])
+        .cache()
+    )
+    # char unit: the comments are Chinese — whitespace tokenization would
+    # collapse each doc to one opaque token and every score would tie
+    lm = corpus.train_bigram_lm(docs, min_count=2, alpha=1.0, unit="char")
+    scored = corpus.score_perplexity(docs, lm).cache()
+    n_docs, n_scored = docs.count(), scored.count()
+    assert n_scored == n_docs  # every doc scores, even empty text
+    # cut strictly below the worst score → guaranteed strict fluent subset
+    # (a quantile cut can tie across most of a small corpus)
+    lo, hi = scored.agg(F.min("ppl"), F.max("ppl")).first()
+    assert lo < hi
+    cut = scored.where(F.col("ppl") < hi).agg(F.max("ppl")).first()[0]
+    kept = corpus.perplexity_filter(docs, lm, max_ppl=cut).cache()
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.collect()}
+    assert kept_ids and kept_ids < all_ids  # nonempty strict fluent subset
+    # determinism under layout
+    kept2 = {
+        r["doc_id"]
+        for r in corpus.perplexity_filter(
+            docs.repartition(7), lm, max_ppl=cut
+        ).select("doc_id").collect()
+    }
+    assert kept2 == kept_ids
+    lm.unpersist()
+    for df in (pages, rehydrated, docs, scored, kept):
+        df.unpersist()

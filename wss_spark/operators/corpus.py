@@ -503,35 +503,43 @@ BOS, EOS, UNK = "<s>", "</s>", "<unk>"
 
 
 class BigramLM:
-    """A trained add-alpha-smoothed word-bigram LM: ``model`` (w1, w2, c12),
+    """A trained add-alpha-smoothed bigram LM: ``model`` (w1, w2, c12),
     ``ctx`` (w1, c1 = sum of c12), ``vocab`` (w), vocabulary size ``v``
-    (|vocab| + 2 for UNK and EOS) and smoothing ``alpha``. The three frames
-    are persisted eagerly at train time (the LM is a bounded reusable
+    (|vocab| + 2 for UNK and EOS), smoothing ``alpha`` and the ``unit``
+    it was tokenized at ("word" or "char" — scoring reuses it, so a model
+    can never be applied at the wrong granularity). The three frames are
+    persisted eagerly at train time (the LM is a bounded reusable
     artifact); call :meth:`unpersist` when done scoring."""
 
     def __init__(self, model: DataFrame, ctx: DataFrame, vocab: DataFrame,
-                 v: int, alpha: float):
+                 v: int, alpha: float, unit: str = "word"):
         self.model, self.ctx, self.vocab = model, ctx, vocab
-        self.v, self.alpha = v, alpha
+        self.v, self.alpha, self.unit = v, alpha, unit
 
     def unpersist(self) -> None:
         for df in (self.model, self.ctx, self.vocab):
             df.unpersist()
 
 
-def _token_seq(text_col: str) -> F.Column:
-    """``[<s>] + words + [</s>]`` over dedup-canonical text; null/empty text
-    yields just the sentinels (so every document scores)."""
+def _token_seq(text_col: str, unit: str = "word") -> F.Column:
+    """``[<s>] + tokens + [</s>]`` over dedup-canonical text; null/empty
+    text yields just the sentinels (so every document scores). ``unit`` is
+    "word" (whitespace tokens — latin scripts) or "char" (every non-space
+    character — CJK text carries no whitespace, so word mode would collapse
+    each document to a single opaque token)."""
     norm = F.coalesce(dedup.normalize_text(text_col), F.lit(""))
-    words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
-    return F.concat(F.array(F.lit(BOS)), words, F.array(F.lit(EOS)))
+    sep = " " if unit == "word" else ""
+    toks = F.filter(F.split(norm, sep),
+                    lambda w: (w != F.lit("")) & (w != F.lit(" ")))
+    return F.concat(F.array(F.lit(BOS)), toks, F.array(F.lit(EOS)))
 
 
-def _bigram_rows(docs: DataFrame, id_cols: list, text_col: str) -> DataFrame:
+def _bigram_rows(docs: DataFrame, id_cols: list, text_col: str,
+                 unit: str = "word") -> DataFrame:
     """Exploded raw bigram rows (w1raw, w2raw) — zero-shuffle projection.
     The sequence is projected as its own column first so the slice inputs
     are evaluated once (no CSE across lambda boundaries — PLANS.md)."""
-    seq = docs.select(*id_cols, _token_seq(text_col).alias("_seq"))
+    seq = docs.select(*id_cols, _token_seq(text_col, unit).alias("_seq"))
     s = F.col("_seq")
     pairs = F.zip_with(
         F.slice(s, 1, F.size(s) - 1),
@@ -565,7 +573,8 @@ def _map_unk(bi: DataFrame, vocab: DataFrame, broadcast_vocab: bool = True) -> D
 
 
 def train_bigram_lm(train_docs: DataFrame, text_col: str = "text",
-                    min_count: int = 2, alpha: float = 1.0) -> BigramLM:
+                    min_count: int = 2, alpha: float = 1.0,
+                    unit: str = "word") -> BigramLM:
     """Train the LM on a high-quality slice: vocab = words seen >=
     ``min_count`` times (sentinel-colliding literals excluded), bigram and
     context counts over UNK-mapped sequences. Two aggregations (vocab count,
@@ -573,7 +582,7 @@ def train_bigram_lm(train_docs: DataFrame, text_col: str = "text",
     corpus); the token explode is map-side, so each shuffle carries only
     partially-aggregated (token|bigram, count) rows."""
     toks = train_docs.select(
-        F.explode(_token_seq(text_col)).alias("w")
+        F.explode(_token_seq(text_col, unit)).alias("w")
     ).where(~F.col("w").isin(BOS, EOS))
     vocab = (
         toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
@@ -582,11 +591,11 @@ def train_bigram_lm(train_docs: DataFrame, text_col: str = "text",
         .persist()
     )
     v = vocab.count() + 2  # + UNK + EOS
-    bi = _map_unk(_bigram_rows(train_docs, [], text_col), vocab)
+    bi = _map_unk(_bigram_rows(train_docs, [], text_col, unit), vocab)
     model = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).persist()
     ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1")).persist()
     ctx.count()  # materialize model+ctx through one job
-    return BigramLM(model, ctx, vocab, v, alpha)
+    return BigramLM(model, ctx, vocab, v, alpha, unit)
 
 
 def score_perplexity(docs: DataFrame, lm: BigramLM, id_col: str = "doc_id",
@@ -601,7 +610,7 @@ def score_perplexity(docs: DataFrame, lm: BigramLM, id_col: str = "doc_id",
     broadcast by default — the LM is a bounded artifact by construction
     (min_count-trimmed vocab). For a model too large to broadcast pass
     ``broadcast_model=False`` and let AQE pick the join strategy."""
-    bi = _map_unk(_bigram_rows(docs, [id_col], text_col), lm.vocab,
+    bi = _map_unk(_bigram_rows(docs, [id_col], text_col, lm.unit), lm.vocab,
                   broadcast_vocab=broadcast_model)
     model, ctx = lm.model, lm.ctx
     if broadcast_model:
