@@ -141,3 +141,43 @@ def test_char_unit_matches_replica_on_cjk(spark):
         assert got[k] == pytest.approx(w, abs=1e-12)
     assert got[10] < got[11]  # fluent beats OOV
     lm.unpersist()
+
+
+def test_literal_sentinel_tokens_map_to_unk(spark, lm):
+    # adversarial text containing literal '<s>'/'</s>' must score exactly
+    # like the same text with those tokens replaced by any OOV word — the
+    # literals map to <unk> and never masquerade as sentence boundaries
+    _, ppl = _replica()
+    score = spark.createDataFrame(
+        [(20, "the <s> cat </s> sat"), (21, "the zzz cat qqq sat")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["ppl"]
+           for r in corpus.score_perplexity(score, lm).collect()}
+    assert got[20] == pytest.approx(got[21], abs=1e-12)
+    assert got[20] == pytest.approx(ppl("the zzz cat qqq sat"), abs=1e-12)
+
+
+def test_literal_sentinels_in_training_text(spark):
+    # a training doc carrying literal sentinels trains the same LM as one
+    # carrying an OOV word in the same positions (both collapse to <unk>)
+    a = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat sat"), (2, "<s> the </s>")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat sat"), (2, "xxx the yyy")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(9, "the cat sat")], "doc_id long, text string"
+    )
+    lma = corpus.train_bigram_lm(a, min_count=2, alpha=1.0)
+    lmb = corpus.train_bigram_lm(b, min_count=2, alpha=1.0)
+    try:
+        pa = corpus.score_perplexity(score, lma).collect()[0]["ppl"]
+        pb = corpus.score_perplexity(score, lmb).collect()[0]["ppl"]
+        assert pa == pytest.approx(pb, abs=1e-12)
+    finally:
+        lma.unpersist()
+        lmb.unpersist()

@@ -80,3 +80,77 @@ def test_gzip_members_are_independent():
     assert blob.count(b"\x1f\x8b\x08") == 3
     # whole-stream decompress sees all members
     assert gzip.decompress(blob).count(b"WARC/1.0") == 3
+
+
+def test_crlf_url_cannot_inject_headers():
+    # a hostile url with CR/LF must not inject header lines or desync framing
+    evil = "http://evil/\r\nWARC-Type: request"
+    recs = [
+        (evil, datetime(2024, 1, 1), b"<p>x</p>"),
+        ("http://ok/", datetime(2024, 1, 2), b"<p>y</p>"),
+    ]
+    blob = warc.render_warc_segment(recs, "s")
+    out = list(warc._parse_segment("s", blob, strict=True))
+    assert len(out) == 2  # nothing dropped, framing intact
+    assert {r["url"] for r in out} == {
+        "http://evil/%0D%0AWARC-Type: request",  # escaped round-trip form
+        "http://ok/",
+    }
+
+
+def test_lax_tolerates_missing_content_length():
+    good = warc.render_warc_segment(
+        [("http://x/1", datetime(2024, 1, 1), b"ok")], "s"
+    )
+    bad = good + b"WARC/1.0\r\nWARC-Type: response\r\n\r\njunk"
+    with pytest.raises(ValueError):
+        list(warc._parse_segment("s", bad, strict=True))
+    kept = list(warc._parse_segment("s", bad, strict=False))
+    assert [r["url"] for r in kept] == ["http://x/1"]
+    # non-numeric length: same contract
+    bad2 = good + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: xx\r\n\r\n"
+    with pytest.raises(ValueError):
+        list(warc._parse_segment("s", bad2, strict=True))
+    assert [r["url"] for r in warc._parse_segment("s", bad2, strict=False)] == [
+        "http://x/1"
+    ]
+
+
+def test_response_without_http_separator():
+    # framing is intact but the HTTP payload has no CRLFCRLF separator:
+    # strict raises, lax skips just that record and keeps parsing
+    payload = b"HTTP/1.1 200 OK\r\nonly-headers-no-blank-line"
+    broken = warc._record(
+        [
+            (b"WARC-Type", b"response"),
+            (b"WARC-Target-URI", b"http://bad/"),
+            (b"WARC-Date", b"2024-01-01T00:00:00Z"),
+        ],
+        payload,
+    )
+    good = warc._record(
+        [
+            (b"WARC-Type", b"response"),
+            (b"WARC-Target-URI", b"http://good/"),
+            (b"WARC-Date", b"2024-01-01T00:00:00Z"),
+        ],
+        b"HTTP/1.1 200 OK\r\n\r\n<p>fine</p>",
+    )
+    blob = broken + good
+    with pytest.raises(ValueError):
+        list(warc._parse_segment("s", blob, strict=True))
+    kept = list(warc._parse_segment("s", blob, strict=False))
+    assert [r["url"] for r in kept] == ["http://good/"]
+    assert bytes(kept[0]["html"]) == b"<p>fine</p>"
+
+
+def test_microsecond_timestamp_roundtrip():
+    ts = datetime(2024, 1, 1, 0, 0, 0, 123456)
+    blob = warc.render_warc_segment([("http://x/", ts, b"z")], "s")
+    out = list(warc._parse_segment("s", blob, strict=True))
+    assert out[0]["warc_ts"] == ts
+    # whole-second stamps keep the classic WARC 1.0 form (byte stability)
+    blob2 = warc.render_warc_segment(
+        [("http://x/", datetime(2024, 1, 1), b"z")], "s"
+    )
+    assert b"2024-01-01T00:00:00Z" in blob2

@@ -3080,9 +3080,15 @@ _PPL_MIN_COUNT = 2
 
 
 def _ppl_sql() -> str:
+    # Literal sentinel tokens in document text escape to <unk> BEFORE the
+    # real sentinels are attached — mirrors corpus._token_seq, so the
+    # w1raw='<s>' / w2raw='</s>' value tests below only ever see the
+    # positional sentinels.
     seq = (
-        f"['<s>'] || (CASE WHEN n = '' THEN []::VARCHAR[] "
-        f"ELSE string_split(n, ' ') END) || ['</s>']"
+        f"['<s>'] || list_transform("
+        f"CASE WHEN n = '' THEN []::VARCHAR[] ELSE string_split(n, ' ') END, "
+        f"x -> CASE WHEN x IN ('<s>', '</s>') THEN '<unk>' ELSE x END"
+        f") || ['</s>']"
     )
     return f"""
 WITH tnorm AS (

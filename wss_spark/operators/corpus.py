@@ -526,11 +526,22 @@ def _token_seq(text_col: str, unit: str = "word") -> F.Column:
     text yields just the sentinels (so every document scores). ``unit`` is
     "word" (whitespace tokens — latin scripts) or "char" (every non-space
     character — CJK text carries no whitespace, so word mode would collapse
-    each document to a single opaque token)."""
+    each document to a single opaque token).
+
+    Literal ``<s>``/``</s>`` tokens in document text are escaped to UNK
+    here, so downstream the sentinels are positionally unique (first/last
+    element only) and adversarial text can't masquerade as sentence
+    boundaries and skew the trained LM. Char mode tokens are single
+    characters, so the escape is provably a no-op there and skipped."""
     norm = F.coalesce(dedup.normalize_text(text_col), F.lit(""))
     sep = " " if unit == "word" else ""
     toks = F.filter(F.split(norm, sep),
                     lambda w: (w != F.lit("")) & (w != F.lit(" ")))
+    if unit == "word":
+        toks = F.transform(
+            toks,
+            lambda w: F.when(w.isin(BOS, EOS), F.lit(UNK)).otherwise(w),
+        )
     return F.concat(F.array(F.lit(BOS)), toks, F.array(F.lit(EOS)))
 
 
@@ -554,7 +565,10 @@ def _bigram_rows(docs: DataFrame, id_cols: list, text_col: str,
 def _map_unk(bi: DataFrame, vocab: DataFrame, broadcast_vocab: bool = True) -> DataFrame:
     """Map out-of-vocabulary tokens to UNK (sentinels map to themselves) via
     two left joins against the vocab — broadcast by default (the vocab is
-    min_count-trimmed and must be bounded for the LM to be usable at all)."""
+    min_count-trimmed and must be bounded for the LM to be usable at all).
+    The BOS/EOS value tests are positionally safe because ``_token_seq``
+    escapes literal sentinel tokens before prepending/appending the real
+    ones."""
     v1 = vocab.select(F.col("w").alias("w1raw"), F.lit(True).alias("_in1"))
     v2 = vocab.select(F.col("w").alias("w2raw"), F.lit(True).alias("_in2"))
     if broadcast_vocab:

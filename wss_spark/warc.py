@@ -50,12 +50,32 @@ SEGMENT_SCHEMA = "segment_id string, n_records long, data binary"
 
 
 def _iso(ts: datetime) -> bytes:
+    # Sub-second precision is preserved (WARC 1.1-style fractional date)
+    # whenever present, so pages -> WARC -> pages is an identity on warc_ts
+    # for real microsecond fetch times; whole-second stamps keep the classic
+    # WARC 1.0 form so existing byte fixtures are unchanged.
+    if ts.microsecond:
+        return ts.strftime("%Y-%m-%dT%H:%M:%S.%fZ").encode("ascii")
     return ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode("ascii")
+
+
+def _parse_iso(s: str) -> datetime:
+    fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in s else "%Y-%m-%dT%H:%M:%SZ"
+    return datetime.strptime(s, fmt)
+
+
+def _hval(v: bytes) -> bytes:
+    # Header values are externally controlled (crawled urls). CR/LF would
+    # inject header lines or end the block early and desync segment framing,
+    # so escape them percent-style; all other bytes pass through verbatim.
+    if b"\r" in v or b"\n" in v:
+        v = v.replace(b"\r", b"%0D").replace(b"\n", b"%0A")
+    return v
 
 
 def _record(headers: list[tuple[bytes, bytes]], payload: bytes) -> bytes:
     head = b"WARC/1.0" + _CRLF
-    head += b"".join(k + b": " + v + _CRLF for k, v in headers)
+    head += b"".join(k + b": " + _hval(v) + _CRLF for k, v in headers)
     head += b"Content-Length: " + str(len(payload)).encode("ascii") + _CRLF
     return head + _CRLF + payload + _CRLF + _CRLF
 
@@ -135,6 +155,10 @@ def pages_to_warc(
     the same input yields the same segments under any partitioning; records
     within a segment are ordered (warc_ts, url). One shuffle (the groupBy),
     then each segment renders map-side in one Arrow batch.
+
+    Header-value safety: CR/LF bytes in a url (externally controlled) are
+    percent-escaped (%0D/%0A) in the rendered WARC-Target-URI — such urls
+    round-trip to their escaped form rather than injecting header lines.
     """
     width = len(str(max(n_segments - 1, 1)))
     gz = bool(gzip_members)
@@ -194,7 +218,15 @@ def _parse_segment(segment_id: str, blob: bytes, strict: bool) -> Iterator[dict]
             headers[k.strip().decode("ascii").lower()] = v.strip().decode(
                 "utf-8", "replace"
             )
-        length = int(headers["content-length"])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            if strict:
+                raise ValueError(
+                    f"{segment_id}: missing or malformed Content-Length "
+                    f"at offset {pos}"
+                ) from None
+            break  # framing unrecoverable without a length — keep the prefix
         body_start = hdr_end + 4
         payload = data[body_start:body_start + length]
         if len(payload) != length:
@@ -205,8 +237,21 @@ def _parse_segment(segment_id: str, blob: bytes, strict: bool) -> Iterator[dict]
         if headers.get("warc-type") != "response":
             continue
         http_end = payload.find(_CRLF + _CRLF)
+        if http_end < 0:
+            # Framing is intact (Content-Length consumed), so this is a
+            # payload-level defect: strict rejects, lax skips just this record.
+            if strict:
+                raise ValueError(
+                    f"{segment_id}: response payload has no HTTP header/body "
+                    f"separator at offset {body_start}"
+                )
+            continue
         status_line = payload[:payload.find(_CRLF)].split(b" ")
-        status = int(status_line[1]) if len(status_line) > 1 else None
+        status = (
+            int(status_line[1])
+            if len(status_line) > 1 and status_line[1].isdigit()
+            else None
+        )
         ctype = None
         for line in payload[:http_end].split(_CRLF)[1:]:
             k, _, v = line.partition(b":")
@@ -215,9 +260,7 @@ def _parse_segment(segment_id: str, blob: bytes, strict: bool) -> Iterator[dict]
         yield {
             "segment_id": segment_id,
             "url": headers.get("warc-target-uri"),
-            "warc_ts": datetime.strptime(
-                headers["warc-date"], "%Y-%m-%dT%H:%M:%SZ"
-            ),
+            "warc_ts": _parse_iso(headers["warc-date"]),
             "html": payload[http_end + 4:],
             "http_status": status,
             "content_type": ctype,
@@ -234,10 +277,12 @@ def parse_warc(
     ``(segment_id, url, warc_ts, html, http_status, content_type)``.
 
     Non-response records (warcinfo, request, metadata) are skipped. With
-    ``strict`` (default) corrupt framing raises; ``strict=False`` stops at
-    the first bad record of a segment and keeps what parsed (the Common
-    Crawl truncated-tail tolerance). No shuffle — pure mapInPandas over the
-    input's own partitioning; only (id, data) columns are read."""
+    ``strict`` (default) corrupt framing or a defective record payload
+    raises; ``strict=False`` stops at the first framing defect of a segment
+    keeping what parsed (the Common Crawl truncated-tail tolerance), and
+    skips individual records whose HTTP payload lacks a header/body
+    separator. No shuffle — pure mapInPandas over the input's own
+    partitioning; only (id, data) columns are read."""
     src = segments.select(
         F.col(id_col).alias("segment_id"), F.col(data_col).alias("data")
     )
