@@ -154,3 +154,55 @@ def test_microsecond_timestamp_roundtrip():
         [("http://x/", datetime(2024, 1, 1), b"z")], "s"
     )
     assert b"2024-01-01T00:00:00Z" in blob2
+
+
+def test_stream_warc_exactly_once(spark, tmp_path):
+    # segment files arriving in a watched dir are each parsed exactly once
+    # across restarts (checkpointed file-source offsets), matching batch
+    # parse values
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_seg(name, urls):
+        recs = [(u, datetime(2024, 1, 1), f"<p>{u}</p>".encode()) for u in urls]
+        (seg_dir / name).write_bytes(
+            warc.render_warc_segment(recs, name, gzip_members=name.endswith(".gz"))
+        )
+
+    write_seg("a.warc", ["http://x/1", "http://x/2"])
+    write_seg("b.warc.gz", ["http://y/1"])
+
+    def drain():
+        q = (
+            warc.stream_warc(spark, str(seg_dir))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    drain()
+    got = spark.read.parquet(out)
+    assert {r["url"] for r in got.collect()} == {
+        "http://x/1", "http://x/2", "http://y/1"
+    }
+
+    # a third file arrives; restart the stream on the same checkpoint:
+    # only the new segment's rows append, nothing re-parsed
+    write_seg("c.warc", ["http://z/1"])
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4
+    assert sorted(r["url"] for r in rows) == [
+        "http://x/1", "http://x/2", "http://y/1", "http://z/1"
+    ]
+    # segment_id is the file name, so provenance survives ingest
+    assert {r["segment_id"] for r in rows} == {"a.warc", "b.warc.gz", "c.warc"}
