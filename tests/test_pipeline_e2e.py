@@ -228,5 +228,15 @@ def test_warc_to_perplexity_filtered_corpus(spark):
     }
     assert kept2 == kept_ids
     lm.unpersist()
-    for df in (pages, rehydrated, docs, scored, kept):
+    for df in (pages, rehydrated, docs, scored):
         df.unpersist()
+    # terminal egress: the filtered corpus ships as a verified release —
+    # WARC bytes in, checksummed shards out, nothing lost in between
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        corpus.write_release(kept, f"{d}/rel", n_shards=4)
+        assert corpus.verify_release(spark, f"{d}/rel").count() == 0
+        back = spark.read.parquet(f"{d}/rel/data")
+        assert {r["doc_id"] for r in back.select("doc_id").collect()} == kept_ids
+    kept.unpersist()
