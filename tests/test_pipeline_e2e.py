@@ -174,7 +174,7 @@ def test_run_stages_checkpoint_resume(spark, tmp_path):
     assert fourth == first
 
 
-def test_warc_to_perplexity_filtered_corpus(spark):
+def test_warc_to_perplexity_filtered_corpus(spark, tmp_path):
     """The full crawl-to-corpus boundary chain: WARC segment bytes →
     parse → extraction → bigram-LM perplexity filter. Extraction over
     WARC-round-tripped pages must equal extraction over the originals
@@ -232,11 +232,9 @@ def test_warc_to_perplexity_filtered_corpus(spark):
         df.unpersist()
     # terminal egress: the filtered corpus ships as a verified release —
     # WARC bytes in, checksummed shards out, nothing lost in between
-    import tempfile
-
-    with tempfile.TemporaryDirectory() as d:
-        corpus.write_release(kept, f"{d}/rel", n_shards=4)
-        assert corpus.verify_release(spark, f"{d}/rel").count() == 0
-        back = spark.read.parquet(f"{d}/rel/data")
-        assert {r["doc_id"] for r in back.select("doc_id").collect()} == kept_ids
+    rel = str(tmp_path / "rel")
+    corpus.write_release(kept, rel, n_shards=4)
+    assert corpus.verify_release(spark, rel).count() == 0
+    back = spark.read.parquet(f"{rel}/data")
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == kept_ids
     kept.unpersist()

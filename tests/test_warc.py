@@ -206,3 +206,46 @@ def test_stream_warc_exactly_once(spark, tmp_path):
     ]
     # segment_id is the file name, so provenance survives ingest
     assert {r["segment_id"] for r in rows} == {"a.warc", "b.warc.gz", "c.warc"}
+
+
+def test_stream_warc_picks_up_old_mtime_files(spark, tmp_path):
+    # a segment copied in with an old preserved mtime (rsync -a /
+    # object-store copy) must still ingest: the file source's 7-day
+    # maxFileAge default would silently skip it (stream_warc overrides it)
+    import os
+    import time
+
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def write_seg(name, url, mtime=None):
+        p = seg_dir / name
+        p.write_bytes(warc.render_warc_segment(
+            [(url, datetime(2024, 1, 1), b"x")], name))
+        if mtime is not None:
+            os.utime(p, (mtime, mtime))
+
+    def drain():
+        q = (
+            warc.stream_warc(spark, str(seg_dir))
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        try:
+            assert q.awaitTermination(300)
+        finally:
+            q.stop()
+
+    write_seg("fresh.warc", "http://fresh/")
+    drain()
+    write_seg("old.warc", "http://old/", mtime=time.time() - 30 * 86400)
+    drain()
+    assert {r["url"] for r in spark.read.parquet(out).collect()} == {
+        "http://fresh/", "http://old/"
+    }
+    # in-progress temp names stay invisible to the default glob
+    (seg_dir / "partial.warc.tmp").write_bytes(b"garbage not a record")
+    drain()
+    assert spark.read.parquet(out).count() == 2

@@ -3176,8 +3176,7 @@ WITH d AS (
   SELECT CAST(doc_id AS VARCHAR) AS id, coalesce(text, '') AS t FROM documents
 ), s AS (
   SELECT id, t,
-    CAST(CAST('0x' || substr(md5(id), 1, 7) AS BIGINT) % {_RELEASE_SHARDS}
-         AS INTEGER) AS shard_id
+    CAST({_h28('id')} % {_RELEASE_SHARDS} AS INTEGER) AS shard_id
   FROM d
 )
 SELECT shard_id,
@@ -3185,8 +3184,7 @@ SELECT shard_id,
   CAST(sum(len(list_filter(string_split_regex(t, '\s+'), x -> x <> '')))
        AS BIGINT) AS n_tokens,
   CAST(sum(strlen(t)) AS BIGINT) AS n_bytes,
-  CAST(sum(CAST('0x' || substr(md5(id || ':' || md5(t)), 1, 7) AS BIGINT))
-       AS BIGINT) AS checksum
+  CAST(sum({_h28("id || ':' || md5(t)")}) AS BIGINT) AS checksum
 FROM s GROUP BY shard_id
 """
 

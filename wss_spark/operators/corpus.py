@@ -453,22 +453,28 @@ def release_shards(docs: DataFrame, n_shards: int = 1024,
     if n_shards <= 0:
         raise ValueError(f"n_shards must be > 0, got {n_shards}")
     ids = F.col(id_col).cast("string")
-    t = F.coalesce(F.col(text_col), F.lit(""))
     sharded = docs.withColumn(
         "shard_id", (dedup.portable_hash28(ids) % n_shards).cast("int")
     )
+    return sharded, _manifest_agg(sharded, id_col, text_col)
+
+
+def _manifest_agg(sharded: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """THE manifest aggregation — the single definition both the producer
+    (release_shards / write_release) and the checker (verify_release) run,
+    so the recompute-identically invariant the verify scheme rests on can't
+    desynchronize (the same one-definition rationale as
+    textstats.ws_token_count)."""
+    ids = F.col(id_col).cast("string")
+    t = F.coalesce(F.col(text_col), F.lit(""))
     doc_check = dedup.portable_hash28(F.concat(ids, F.lit(":"), F.md5(t)))
-    manifest = (
-        sharded.groupBy("shard_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(textstats.ws_token_count(t).cast("long"))
-            .cast("long").alias("n_tokens"),
-            F.sum(F.octet_length(t).cast("long")).cast("long").alias("n_bytes"),
-            F.sum(doc_check).cast("long").alias("checksum"),
-        )
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(textstats.ws_token_count(t).cast("long"))
+        .cast("long").alias("n_tokens"),
+        F.sum(F.octet_length(t).cast("long")).cast("long").alias("n_bytes"),
+        F.sum(doc_check).cast("long").alias("checksum"),
     )
-    return sharded, manifest
 
 
 def write_release(docs: DataFrame, out_dir: str, n_shards: int = 1024,
@@ -476,13 +482,23 @@ def write_release(docs: DataFrame, out_dir: str, n_shards: int = 1024,
     """Write a release: shard-partitioned parquet under ``out_dir/data``
     (one directory per shard — a trainer reads any subset with partition
     pruning) plus the manifest under ``out_dir/_manifest``. One shuffle
-    (repartition by shard_id, so each shard is one writer's files); the
-    manifest aggregation is map-side-partial over the same pass shape."""
-    sharded, manifest = release_shards(docs, n_shards, id_col, text_col)
-    (sharded.repartition("shard_id")
+    (repartition by shard_id, so each shard is one writer's files).
+
+    The manifest is computed FROM THE WRITTEN SHARD BYTES (a read-back of
+    ``out_dir/data``), not from the input lineage: the input pipeline runs
+    exactly once (no double execution of an expensive upstream chain), and
+    the stored manifest describes what actually landed on disk even if the
+    upstream source moved or an upstream op is nondeterministic — so
+    :func:`verify_release` on a fresh, untampered release is always
+    clean."""
+    spark = docs.sparkSession
+    (release_shards(docs, n_shards, id_col, text_col)[0]
+     .repartition("shard_id")
      .write.mode("overwrite").partitionBy("shard_id")
      .parquet(f"{out_dir}/data"))
-    manifest.write.mode("overwrite").parquet(f"{out_dir}/_manifest")
+    written = spark.read.parquet(f"{out_dir}/data")
+    (_manifest_agg(written, id_col, text_col)
+     .write.mode("overwrite").parquet(f"{out_dir}/_manifest"))
 
 
 def verify_release(spark, out_dir: str, id_col: str = "doc_id",
@@ -494,16 +510,7 @@ def verify_release(spark, out_dir: str, id_col: str = "doc_id",
     Full outer join on shard_id so missing and phantom shards both show."""
     stored = spark.read.parquet(f"{out_dir}/_manifest")
     data = spark.read.parquet(f"{out_dir}/data")
-    ids = F.col(id_col).cast("string")
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    doc_check = dedup.portable_hash28(F.concat(ids, F.lit(":"), F.md5(t)))
-    actual = data.groupBy("shard_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(textstats.ws_token_count(t).cast("long"))
-        .cast("long").alias("n_tokens"),
-        F.sum(F.octet_length(t).cast("long")).cast("long").alias("n_bytes"),
-        F.sum(doc_check).cast("long").alias("checksum"),
-    )
+    actual = _manifest_agg(data, id_col, text_col)
     fields = ["n_docs", "n_tokens", "n_bytes", "checksum"]
     e = stored.select("shard_id", *[F.col(f).alias(f"_e_{f}") for f in fields])
     a = actual.select("shard_id", *[F.col(f).alias(f"_a_{f}") for f in fields])

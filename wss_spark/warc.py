@@ -300,17 +300,31 @@ def parse_warc(
     return src.mapInPandas(gen, schema=PARSED_SCHEMA)
 
 
-def stream_warc(spark, warc_dir: str, glob: str = "*.warc*",
+def stream_warc(spark, warc_dir: str, glob: str = "*.{warc,warc.gz}",
                 strict: bool = True,
-                max_files_per_trigger: int | None = None) -> DataFrame:
+                max_files_per_trigger: int | None = None,
+                max_file_age: str = "36500d") -> DataFrame:
     """Streaming WARC ingest: watch ``warc_dir`` for arriving segment files
     (the shape of a Common Crawl drop landing in object storage) and emit
     pages-shaped rows. Built on the ``binaryFile`` file source, so Spark's
     streaming file index gives exactly-once pickup per segment file across
-    restarts (checkpointed source offsets) — no segment is parsed twice and
-    none is skipped. ``parse_warc`` supplies the same zero-shuffle
-    mapInPandas parse as the batch path; downstream compose the existing
-    streaming stages (stream_extract_entities, foreach_batch_dedup_append).
+    restarts (checkpointed source offsets) — no segment is parsed twice.
+    ``parse_warc`` supplies the same zero-shuffle mapInPandas parse as the
+    batch path; downstream compose the existing streaming stages
+    (stream_extract_entities, foreach_batch_dedup_append).
+
+    No-skip caveats a producer must respect:
+
+    - Files must be placed ATOMICALLY (write elsewhere, then rename/move
+      in). The file source never re-reads a seen path, so a half-copied
+      file whose visible prefix parses cleanly would commit and lose its
+      tail forever. The default ``glob`` matches only final ``.warc`` /
+      ``.warc.gz`` names, so the write-to-temp-suffix-then-rename
+      convention keeps in-progress files invisible.
+    - ``max_file_age`` defaults to effectively-unbounded (100 years),
+      overriding the file source's 7-day default which silently ignores
+      late-arriving files with old preserved mtimes (rsync -a /
+      object-store copies).
 
     ``max_files_per_trigger`` bounds per-microbatch work for steady-state
     backfill (a 100 TB drop arrives as ~10^5 segment files; unbounded, the
@@ -324,6 +338,7 @@ def stream_warc(spark, warc_dir: str, glob: str = "*.warc*",
             "length long, content binary"
         )
         .option("pathGlobFilter", glob)
+        .option("maxFileAge", max_file_age)
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
