@@ -16,6 +16,11 @@ Modes:
 - bulk mode (`bulk` argv): seeds = the full url set (backfill / re-crawl
   configuration — the BASELINE metric's "10^10-URL frontier" drain).
   Compute-dominated → the honest parallel-efficiency measurement.
+- bulkprof mode (`bulkprof` argv): bulk with CrawlConfig.profile_phases —
+  forces materialization at sub-phase boundaries so the admit/discover
+  walls can be ATTRIBUTED (p_frontier_count/p_dedup_bloom/p_seen_anti/
+  p_fetch_log/p_seen_write/p_discover). The forcing changes execution;
+  never report bulkprof walls as the scaling headline.
 - stages mode (`stages` argv): times each pipeline constituent SEPARATELY on
   the same persisted pages table, so the scaling ceiling can be attributed
   per stage (ADVICE r01: substantiate the bandwidth argument per-stage):
@@ -123,7 +128,7 @@ if mode == "stages":
     shutil.rmtree("/dev/shm/wss_bench", ignore_errors=True)
     sys.exit(0)
 
-bulk = mode == "bulk"
+bulk = mode.startswith("bulk")
 pages = build_pages_df(spark, n_targets, seed=42).persist(); n_pages = pages.count()
 seeds = pages.select("url") if bulk else seed_list(n_targets, seed=42)
 # dedup_pages=False: the synthetic pages table is canonical (unique url),
@@ -131,6 +136,9 @@ seeds = pages.select("url") if bulk else seed_list(n_targets, seed=42)
 cfg = CrawlConfig(budget=(None if budget <= 0 else budget), n_buckets=64,
                   m_bits=1 << 20, checkpoint_every=10, defer_logs=True,
                   dedup_pages=False,
+                  # bulkprof: forced sub-phase materialization for cost
+                  # attribution only — walls are NOT comparable to bulk
+                  profile_phases=(mode == "bulkprof"),
                   # bulk = single-pass drain: no page-cache reuse to pay for
                   cache_pages=not bulk,
                   checkpoint_dir=tempfile.mkdtemp(prefix=f"wss_scale{{cores}}_"))

@@ -101,6 +101,11 @@ class CrawlConfig:
     # false-positive share (maybe rows that the exact store proves NEW) in
     # metrics — two extra counts per wave, off in production
     track_bloom_stats: bool = False
+    # diagnostics: split the admit/discover_state phase walls into sub-phases
+    # by FORCING materialization at each boundary (extra count()/checkpoint
+    # jobs — changes the execution, so walls are for attribution only, never
+    # the headline). Used by tools/bench_scaling.py profiling runs.
+    profile_phases: bool = False
     # cache_pages=True (default): hash-partition the (url, html) fetch
     # index once and persist it, so every wave's fetch join satisfies its
     # distribution from the cache — right whenever the crawl runs more
@@ -274,6 +279,8 @@ def run_crawl(
             since[0] = now_t
 
         _since = [t0]
+        if cfg.profile_phases:
+            _mark("p_frontier_count", _since)
 
         # 1. in-wave dedup + salted hash/bucket columns
         cand = bloom.with_hash_cols(
@@ -294,6 +301,9 @@ def run_crawl(
             flagged = bloom.prefilter(
                 cand, bloom_state, cfg.m_bits, cfg.bloom_k
             ).persist()
+        if cfg.profile_phases:
+            flagged.count()  # force: dedup + hash cols + bloom probe + cache
+            _mark("p_dedup_bloom", _since)
         definitely_new = flagged.filter(~F.col("maybe_seen"))
         maybe = flagged.filter(F.col("maybe_seen"))
         confirmed_new = maybe
@@ -317,6 +327,9 @@ def run_crawl(
             # (the admit-phase cost the bloom failed to prune)
             bloom_stats["n_bloom_fp"] = confirmed_new.count()
         new = definitely_new.unionByName(confirmed_new).drop("maybe_seen")
+        if cfg.profile_phases:
+            new.count()  # force: bucket collect + seen read + exact anti-join
+            _mark("p_seen_anti", _since)
 
         # 3. robots gate (blocked rows are marked seen, logged, never fetched)
         if robots is not None:
@@ -414,6 +427,10 @@ def run_crawl(
             fetch_log_parts.append(fetch_log.persist())
         else:
             checkpoint.write_log(root, "fetch_log", wave, fetch_log)
+        if cfg.profile_phases:
+            if cfg.defer_logs:
+                fetch_log_parts[-1].count()  # force: status join + cache
+            _mark("p_fetch_log", _since)
 
         # 7. state update: APPEND this wave's newly-seen keys (admitted ∪
         # blocked) to the bucket-partitioned store — O(wave), never
@@ -431,6 +448,8 @@ def run_crawl(
             flat_max_keys=cfg.seen_flat_max_keys,
         )
         last_seen_wave = wave
+        if cfg.profile_phases:
+            _mark("p_seen_write", _since)
         bloom_next = bloom.update(bloom_state, newly_seen, cfg.m_bits, cfg.bloom_k)
         if n_admitted + n_blocked > 0:
             bloom_is_empty = False
@@ -444,6 +463,11 @@ def run_crawl(
             next_frontier = deferred.select(
                 *[f.name for f in frontier.schema.fields]
             ).unionByName(next_frontier)
+        if cfg.profile_phases:
+            next_frontier.count()  # force: discovery unions over parsed
+            _mark("p_discover", _since)
+            # residual "discover_state" mark = snapshot/localCheckpoint commit
+            # (bloom update + frontier materialization) + seen compaction
 
         # 9. snapshot every ``checkpoint_every`` waves (write + read back,
         # truncating DataFrame lineage so plans never grow across waves);
