@@ -266,7 +266,16 @@ def run_crawl(
     last_committed = wave - 1
     while wave < cfg.max_waves:
         t0 = time.time()
-        frontier = frontier.persist()
+        # NO frontier.persist() here: every wave's frontier is already
+        # materialized upstream (wave 0: a projection of the caller's pages/
+        # seeds frame; wave > 0: the eager localCheckpoint or the snapshot
+        # parquet from step 9), so its two consumers (this count + the dedup
+        # chain feeding the persisted ``flagged``) re-scan cheap materialized
+        # data. An extra persist re-serialized the whole frontier into the
+        # block manager once per wave — measured 12.1 s (2 cores) / 4.5 s
+        # (8 cores) of the wave-0 bulk wall, scaling at 0.67 (BASELINE.md
+        # round-4 attribution) — the local-mode cache-build pitfall the
+        # extraction path already avoids.
         n_frontier = frontier.count()
         if n_frontier == 0:
             break
@@ -523,7 +532,6 @@ def run_crawl(
         if on_wave is not None:
             on_wave(metrics[-1])
 
-        frontier.unpersist()
         flagged.unpersist()
         if deferred is not None:
             deferred.unpersist()
