@@ -129,7 +129,22 @@ if mode == "stages":
     sys.exit(0)
 
 bulk = mode.startswith("bulk")
-pages = build_pages_df(spark, n_targets, seed=42).persist(); n_pages = pages.count()
+if bulk:
+    # production shape: the corpus lives in a url-bucketed store (the
+    # Iceberg bucket(n, url) analog, wss_spark/bucketing.py) — the per-wave
+    # fetch join scans the pages side in place and shuffles ONLY the
+    # frontier. The unbucketed alternative re-shuffles the whole html
+    # corpus inside the fetch join, a cost the engine's own storage design
+    # exists to remove. Same n_buckets at both levels; write is setup,
+    # outside the timed window.
+    from wss_spark.bucketing import write_bucketed
+    pages = write_bucketed(
+        build_pages_df(spark, n_targets, seed=42), "pages_bulk",
+        os.path.join(tempfile.mkdtemp(prefix="wss_pages_"), "t"),
+        bucket_col="url", n_buckets=32, sort_cols=["url"])
+else:
+    pages = build_pages_df(spark, n_targets, seed=42).persist()
+n_pages = pages.count()
 seeds = pages.select("url") if bulk else seed_list(n_targets, seed=42)
 # dedup_pages=False: the synthetic pages table is canonical (unique url),
 # as an Iceberg warehouse table would be — the guard agg is ingest's job

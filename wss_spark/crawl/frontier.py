@@ -304,41 +304,56 @@ def run_crawl(
         # ``flagged`` is persisted because three consumers branch off it
         # (bucket probe, definitely_new, maybe) — the cogroup bloom probe
         # must run once per wave.
+        bloom_stats: dict[str, int] = {}
         if bloom_is_empty:
-            flagged = cand.withColumn("maybe_seen", F.lit(False)).persist()
+            # cold start, NOTHING ever admitted: every candidate is provably
+            # new and the key store is provably empty, so skip the probe AND
+            # the maybe/union consumer graph — the deduped candidate plan
+            # flows straight into the admit cache (ONE materialization of
+            # this wave's frontier instead of two; the flagged cache build
+            # was 1/3 of the bulk wave-0 admit wall)
+            flagged = None
+            new = cand
+            if cfg.track_bloom_stats:
+                bloom_stats["n_maybe"] = 0
+                bloom_stats["n_bloom_fp"] = 0
+            if cfg.profile_phases:
+                _mark("p_dedup_bloom", _since)  # lazy: cost lands in admit
+                _mark("p_seen_anti", _since)
         else:
             flagged = bloom.prefilter(
                 cand, bloom_state, cfg.m_bits, cfg.bloom_k
             ).persist()
-        if cfg.profile_phases:
-            flagged.count()  # force: dedup + hash cols + bloom probe + cache
-            _mark("p_dedup_bloom", _since)
-        definitely_new = flagged.filter(~F.col("maybe_seen"))
-        maybe = flagged.filter(F.col("maybe_seen"))
-        confirmed_new = maybe
-        bloom_stats: dict[str, int] = {}
-        if cfg.track_bloom_stats:
-            bloom_stats["n_maybe"] = maybe.count()
-        if last_seen_wave >= 0:
-            maybe_buckets = [r[0] for r in maybe.select("bucket").distinct().collect()]
-            if maybe_buckets:
-                seen_slice = checkpoint.read_seen_keys(
-                    spark, root, last_seen_wave, maybe_buckets
-                )
-                if seen_slice is not None:
-                    confirmed_new = maybe.join(
-                        seen_slice,
-                        on=["bucket", "url_hash", "canon_url"],
-                        how="left_anti",
+            if cfg.profile_phases:
+                flagged.count()  # force: dedup + hash cols + probe + cache
+                _mark("p_dedup_bloom", _since)
+            definitely_new = flagged.filter(~F.col("maybe_seen"))
+            maybe = flagged.filter(F.col("maybe_seen"))
+            confirmed_new = maybe
+            if cfg.track_bloom_stats:
+                bloom_stats["n_maybe"] = maybe.count()
+            if last_seen_wave >= 0:
+                maybe_buckets = [
+                    r[0] for r in maybe.select("bucket").distinct().collect()
+                ]
+                if maybe_buckets:
+                    seen_slice = checkpoint.read_seen_keys(
+                        spark, root, last_seen_wave, maybe_buckets
                     )
-        if cfg.track_bloom_stats:
-            # maybe rows the exact store proves new = bloom false positives
-            # (the admit-phase cost the bloom failed to prune)
-            bloom_stats["n_bloom_fp"] = confirmed_new.count()
-        new = definitely_new.unionByName(confirmed_new).drop("maybe_seen")
-        if cfg.profile_phases:
-            new.count()  # force: bucket collect + seen read + exact anti-join
-            _mark("p_seen_anti", _since)
+                    if seen_slice is not None:
+                        confirmed_new = maybe.join(
+                            seen_slice,
+                            on=["bucket", "url_hash", "canon_url"],
+                            how="left_anti",
+                        )
+            if cfg.track_bloom_stats:
+                # maybe rows the exact store proves new = bloom false
+                # positives (the admit cost the bloom failed to prune)
+                bloom_stats["n_bloom_fp"] = confirmed_new.count()
+            new = definitely_new.unionByName(confirmed_new).drop("maybe_seen")
+            if cfg.profile_phases:
+                new.count()  # force: bucket collect + seen read + anti-join
+                _mark("p_seen_anti", _since)
 
         # 3. robots gate (blocked rows are marked seen, logged, never fetched)
         if robots is not None:
@@ -532,7 +547,8 @@ def run_crawl(
         if on_wave is not None:
             on_wave(metrics[-1])
 
-        flagged.unpersist()
+        if flagged is not None:
+            flagged.unpersist()
         if deferred is not None:
             deferred.unpersist()
         if not cfg.defer_logs:
