@@ -314,6 +314,15 @@ def run_crawl(
             # was 1/3 of the bulk wave-0 admit wall)
             flagged = None
             new = cand
+            if robots is not None:
+                # the robots gate and the blocked anti-join each scan
+                # ``new`` before the admit cache exists — persist the
+                # deduped candidates for those consumers. The robots-less
+                # bulk drain skips this: its only consumer is the admit
+                # build, so the persist would just re-create the double
+                # materialization the shortcut removes.
+                flagged = cand.persist()
+                new = flagged
             if cfg.track_bloom_stats:
                 bloom_stats["n_maybe"] = 0
                 bloom_stats["n_bloom_fp"] = 0
