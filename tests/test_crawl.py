@@ -146,6 +146,30 @@ def test_crawl_order_invariant_to_partitioning(spark, tmp_path, crawl_world):
     assert visit_order(alt.fetch_log) == crawl_world["order"]
 
 
+def test_crawl_defer_logs_invariance(spark, tmp_path, crawl_world):
+    """defer_logs=True (the bench/bulk configuration: per-wave fetch logs
+    stay as persisted unions instead of per-wave parquet writes) is a
+    materialization choice only — the returned fetch_log must carry the
+    same visit order and the same rows as the written-log variant, and it
+    must still materialize correctly AFTER run_crawl has dropped the fetch
+    index cache (the deferred parts' lineage reads the admitted caches and
+    the parquet entities log, never the (url, html) index)."""
+    cfg = CrawlConfig(budget=BUDGET, n_buckets=N_BUCKETS, m_bits=M_BITS,
+                      defer_logs=True,
+                      checkpoint_dir=str(tmp_path / "defer"))
+    alt = run_crawl(spark, crawl_world["pages"], crawl_world["seeds"], cfg,
+                    robots=crawl_world["robots"])
+    assert visit_order(alt.fetch_log) == crawl_world["order"]
+    base = crawl_world["result"].fetch_log.select(
+        "url", "canon_url", "wave", "rank_in_wave", "status"
+    )
+    ours = alt.fetch_log.select(
+        "url", "canon_url", "wave", "rank_in_wave", "status"
+    )
+    assert ours.exceptAll(base).count() == 0
+    assert base.exceptAll(ours).count() == 0
+
+
 def test_crawl_fetch_strategy_invariance(spark, tmp_path, crawl_world):
     """The fetch strategy (persisted url-partitioned index vs streaming the
     pages table into the join, CrawlConfig.cache_pages) is a physical-plan

@@ -33,7 +33,7 @@ Modes:
                process scaling with negligible memory traffic
 
 Usage:
-  python tools/bench_scaling.py [n_targets] [budget] [discovery|bulk|stages] [repeats]
+  python tools/bench_scaling.py [n_targets] [budget] [discovery|bulk|bulkprof|stages] [repeats]
   (budget 0 = unbounded; repeats > 1 alternates levels and keeps min wall —
   single-JVM runs are noisy, r01 used min-of-3)
 Prints one JSON line; results recorded in BASELINE.md.

@@ -314,12 +314,15 @@ def run_crawl(
             # was 1/3 of the bulk wave-0 admit wall)
             flagged = None
             new = cand
-            if robots is not None:
-                # the robots gate and the blocked anti-join each scan
-                # ``new`` before the admit cache exists — persist the
-                # deduped candidates for those consumers. The robots-less
-                # bulk drain skips this: its only consumer is the admit
-                # build, so the persist would just re-create the double
+            if robots is not None or cfg.budget is not None:
+                # with a robots gate (gate + blocked anti-join) or a wave
+                # budget (admitted build + the deferred anti-join's left
+                # side) the deduped candidates have MULTIPLE consumers
+                # before the admit cache exists — persist them, or the
+                # dedup window shuffle re-runs per consumer. Only the
+                # unbudgeted robots-less bulk drain skips the persist:
+                # there the single consumer is the admit build itself, and
+                # persisting would re-create exactly the double
                 # materialization the shortcut removes.
                 flagged = cand.persist()
                 new = flagged
@@ -600,13 +603,17 @@ def run_crawl(
             ),
         )
 
+    # the fetch index is dead on either branch: deferred fetch-log parts are
+    # unions over the persisted admitted/blocked frames joined to the
+    # parquet-backed parsed log — none of them re-reads the (url, html)
+    # cache, so a multi-GB corpus cache must not outlive the crawl
+    if use_idx:
+        pages_idx.unpersist()
     if cfg.defer_logs:
         fetch_log_all = fetch_log_parts[0] if fetch_log_parts else None
         for part in fetch_log_parts[1:]:
             fetch_log_all = fetch_log_all.unionByName(part)
     else:
-        if use_idx:
-            pages_idx.unpersist()
         fetch_log_all = checkpoint.read_log(spark, root, "fetch_log", up_to_wave=last_committed)
     # entities are parquet-backed per wave either way (the extraction's
     # materialization point doubles as the log)
