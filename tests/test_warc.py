@@ -83,19 +83,57 @@ def test_gzip_members_are_independent():
 
 
 def test_crlf_url_cannot_inject_headers():
-    # a hostile url with CR/LF must not inject header lines or desync framing
+    # a hostile url with CR/LF must not inject header lines or desync
+    # framing — and since the escaping is reversible (marker header +
+    # unescape on parse), it round-trips to the ORIGINAL url (ADVICE r04 #1)
     evil = "http://evil/\r\nWARC-Type: request"
     recs = [
         (evil, datetime(2024, 1, 1), b"<p>x</p>"),
         ("http://ok/", datetime(2024, 1, 2), b"<p>y</p>"),
     ]
     blob = warc.render_warc_segment(recs, "s")
+    # the hostile text survives only INSIDE the URI value — never as its
+    # own header line (which needs a preceding CRLF)
+    assert blob.count(b"\r\nWARC-Type: request") == 0
     out = list(warc._parse_segment("s", blob, strict=True))
     assert len(out) == 2  # nothing dropped, framing intact
-    assert {r["url"] for r in out} == {
-        "http://evil/%0D%0AWARC-Type: request",  # escaped round-trip form
-        "http://ok/",
-    }
+    assert {r["url"] for r in out} == {evil, "http://ok/"}
+
+
+def test_escaped_uri_is_injective():
+    # a url containing the literal TEXT '%0D' and a url containing a real
+    # CR must neither render identical WARC bytes nor rehydrate to the
+    # same string (the pre-r05 collision ADVICE r04 #1 flagged)
+    lit = "http://x/a%0Db"
+    raw = "http://x/a\rb"
+    recs = [
+        (lit, datetime(2024, 1, 1), b"1"),
+        (raw, datetime(2024, 1, 2), b"2"),
+    ]
+    blob = warc.render_warc_segment(recs, "s")
+    out = {r["url"] for r in warc._parse_segment("s", blob, strict=True)}
+    assert out == {lit, raw}
+    # percent-free valid urls render verbatim (no marker, no escaping)
+    clean = warc.render_warc_segment(
+        [("http://x/a%20b%25c", datetime(2024, 1, 1), b"z")], "s"
+    )
+    assert b"WARC-Target-URI: http://x/a%20b%25c\r\n" in clean
+    assert b"WSS-URI-Escaped" not in clean
+
+
+def test_foreign_warc_uri_not_unescaped():
+    # a record WITHOUT our marker header (a foreign / Common Crawl segment)
+    # keeps legitimate percent-encodings untouched — no spurious unescape
+    rec = warc._record(
+        [
+            (b"WARC-Type", b"response"),
+            (b"WARC-Target-URI", b"http://cc/%0D%0A%25"),
+            (b"WARC-Date", b"2024-01-01T00:00:00Z"),
+        ],
+        b"HTTP/1.1 200 OK\r\n\r\nbody",
+    )
+    out = list(warc._parse_segment("s", rec, strict=True))
+    assert out[0]["url"] == "http://cc/%0D%0A%25"
 
 
 def test_lax_tolerates_missing_content_length():

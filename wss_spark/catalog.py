@@ -64,7 +64,7 @@ def _values_table(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
 
 
 # SQL fragment shared by the doc pipelines (matches dedup.normalize_text)
-_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_NORM = r"trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))"
 # portable 28-bit hash (matches dedup.portable_hash28)
 def _h28(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 7)) AS BIGINT)"
@@ -99,7 +99,7 @@ def _quality_expr() -> str:
     return (
         r"ROUND(least(length(text) / 500.0, 1.0) * 0.4"
         r" + (CASE WHEN (length(text) /"
-        r" greatest(len(list_filter(string_split_regex(text, '\s+'),"
+        r" greatest(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),"
         r" x -> x <> '')), 1)) BETWEEN 3 AND 12"
         r" THEN 1.0 ELSE 0.0 END) * 0.3"
         f" + least(({stop}) / 5.0, 1.0) * 0.3, 6)"
@@ -1269,7 +1269,7 @@ _TOKEN_BUDGET = 15000
     "llm_token_budget",
     f"""
     WITH j AS (SELECT doc_id, {_quality_expr()} AS quality,
-                      CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                      CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
                                            x -> x <> '')) AS BIGINT) AS ws_tokens
                FROM documents),
     o AS (SELECT doc_id, quality, ws_tokens,
@@ -1702,7 +1702,7 @@ def ts_lang_id(spark, sf):
     "ts_token_counts",
     r"""
     SELECT doc_id,
-           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> ''))
                AS INTEGER) AS ws_tokens,
            CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x <> ''))
                AS INTEGER) AS word_tokens,
@@ -1726,7 +1726,7 @@ def _quality_sql() -> str:
       SELECT doc_id,
              least(length(text) / 500.0, 1.0) AS q_len,
              CASE WHEN (length(text) /
-                        greatest(len(list_filter(string_split_regex(text, '\s+'),
+                        greatest(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
                                                  x -> x <> '')), 1)) BETWEEN 3 AND 12
                   THEN 1.0 ELSE 0.0 END AS q_word,
              least(({stop}) / 5.0, 1.0) AS q_stop
@@ -1752,7 +1752,7 @@ def ts_fingerprint(spark, sf):
 _WORD_REP_SQL = r"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+         list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS ws
   FROM documents
 ), s AS (
   SELECT doc_id, ws, list_distinct(ws) AS uniq,
@@ -1951,7 +1951,7 @@ def _pack_sql(max_tokens: int, n_groups: int) -> str:
     return rf"""
     WITH staged AS (
       SELECT doc_id,
-             CAST(len(list_filter(string_split_regex(text, '\s+'),
+             CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
                                   x -> x <> '')) AS BIGINT) AS n_tokens,
              {h} AS h
       FROM documents
@@ -2077,7 +2077,7 @@ def _logreg_sql(n_iter: int, lr: float, label_chars: int) -> str:
       SELECT doc_id,
              ROUND(least(length(text) / 500.0, 1.0), 6) AS f_len,
              CASE WHEN (length(text) /
-                        greatest(len(list_filter(string_split_regex(text, '\s+'),
+                        greatest(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
                                                  x -> x <> '')), 1))
                   BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END AS f_word,
              ROUND(least(({stop}) / 5.0, 1.0), 6) AS f_stop,
@@ -3181,7 +3181,7 @@ WITH d AS (
 )
 SELECT shard_id,
   CAST(count(*) AS BIGINT) AS n_docs,
-  CAST(sum(len(list_filter(string_split_regex(t, '\s+'), x -> x <> '')))
+  CAST(sum(len(list_filter(string_split_regex(t, '[ \t\n\x0B\f\r]+'), x -> x <> '')))
        AS BIGINT) AS n_tokens,
   CAST(sum(strlen(t)) AS BIGINT) AS n_bytes,
   CAST(sum({_h28("id || ':' || md5(t)")}) AS BIGINT) AS checksum

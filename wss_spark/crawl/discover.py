@@ -244,7 +244,15 @@ def seeds_frontier_from_df(seeds: DataFrame, priority: float = 0.0) -> DataFrame
     """Distributed seeding for bulk frontiers (backfill / re-crawl mode):
     a DataFrame with a ``url`` column becomes wave-0, never routed through
     the driver. All seeds share seed_order 0 — ordering falls through to the
-    canon_url tiebreak, still a pure function of data."""
+    canon_url tiebreak, still a pure function of data.
+
+    Contract (ADVICE r04 #2): this is a LAZY projection, and wave 0 has two
+    consumers, so the caller's seed plan executes twice — it must be cheap
+    and deterministic (a parquet projection is; a sample()/limit() is NOT:
+    re-execution could admit a different set than the counted one). For an
+    expensive or nondeterministic seed plan set
+    ``CrawlConfig.materialize_seeds=True``, which eager-localCheckpoints
+    wave 0 once instead."""
     return _finish(
         seeds.select(
             "url",

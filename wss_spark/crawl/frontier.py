@@ -87,6 +87,16 @@ class CrawlConfig:
     # seen-store small-file maintenance on the snapshot cadence (see
     # checkpoint.compact_seen_keys); off only for write-cost experiments
     compact_seen: bool = True
+    # eager-localCheckpoint wave 0 when seed_urls is a DataFrame (ADVICE
+    # r04 #2): wave 0 has two consumers (the count and the dedup chain), so
+    # a caller-supplied seed PLAN executes twice — fine for the documented
+    # contract (cheap + deterministic, e.g. a parquet projection like the
+    # bulk bench's pages.select("url")), wrong for an expensive or
+    # nondeterministic one (sample/limit could make n_frontier inconsistent
+    # with the admitted set). Default False: materializing the bulk bench's
+    # multi-million-row wave 0 would re-add the exact cache-build wall the
+    # r04 persist removal attributed and fixed (12.1 s @ 2 cores).
+    materialize_seeds: bool = False
     # waves with ≤ this many newly-seen keys append as ONE bucket-sorted
     # flat file (L0) instead of a bucket-partitioned directory — the
     # bucketed write of a small wave costs ~10× the flat one, and
@@ -251,6 +261,8 @@ def run_crawl(
     else:
         if isinstance(seed_urls, DataFrame):
             frontier = seeds_frontier_from_df(seed_urls)
+            if cfg.materialize_seeds:
+                frontier = frontier.localCheckpoint(eager=True)
         else:
             frontier = seeds_to_frontier(spark, seed_urls)
         bloom_state = bloom.empty_state(spark, cfg.n_buckets)

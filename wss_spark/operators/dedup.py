@@ -45,9 +45,14 @@ def minhash_params(k: int) -> list[tuple[int, int, int]]:
 
 
 def normalize_text(col) -> F.Column:
-    """Dedup-canonical text: lowercase, collapse whitespace, trim."""
+    """Dedup-canonical text: lowercase, collapse whitespace, trim. The
+    whitespace class is the explicit ASCII set (textstats.ASCII_WS) on both
+    engines — ADVICE r04 #3 pinned it so RE2's \\s (no \\x0B) can't diverge
+    from Java's in the DuckDB mirrors (catalog._NORM)."""
+    from wss_spark.operators.textstats import ASCII_WS
+
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), ASCII_WS + "+", " "))
 
 
 def _persist_for_self_join(df: DataFrame) -> DataFrame:

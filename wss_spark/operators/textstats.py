@@ -80,13 +80,23 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+# THE canonical whitespace class, pinned EXPLICITLY on both engines
+# (ADVICE r04 #3): Java \s is [ \t\n\x0B\f\r] but RE2's \s (DuckDB) is
+# [ \t\n\f\r] — no \x0B — so a document with a vertical tab between words
+# made every token-count oracle disagree with the engine. Spelling the
+# class out is a Spark-side no-op and pins the DuckDB mirrors
+# (catalog._WS_SQL interpolates the same class) to identical semantics.
+ASCII_WS = r"[ \t\n\x0B\f\r]"
+
+
 def ws_token_count(t: Column) -> Column:
     """Whitespace token count of a text column — THE canonical tokenizer
     expression every token-consuming operator shares (token_counts,
     quality_parts, corpus.pack_sequences); the DuckDB oracles mirror it as
-    ``len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))``.
+    ``len(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+    x -> x <> ''))`` (catalog._WS_SQL — the explicit class, ADVICE r04 #3).
     One definition so a parity fix here can't desynchronize call sites."""
-    return F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    return F.size(F.filter(F.split(t, ASCII_WS + "+"), lambda x: x != ""))
 
 
 def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -138,7 +148,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, fp): md5 of normalized text — the exact-dedup key, also
     usable as a stable shard key for content-addressed storage."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), ASCII_WS + "+", " "))
     return docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fp"))
 
 
@@ -162,7 +172,7 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
 def _words_col(text: Column) -> Column:
-    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+    return F.filter(F.split(text, ASCII_WS + "+"), lambda x: x != "")
 
 
 # ASCII-whitespace edge trim: Spark's F.trim strips ONLY the space

@@ -68,9 +68,37 @@ def _hval(v: bytes) -> bytes:
     # Header values are externally controlled (crawled urls). CR/LF would
     # inject header lines or end the block early and desync segment framing,
     # so escape them percent-style; all other bytes pass through verbatim.
+    # (One-way backstop for internal headers; the WARC-Target-URI uses the
+    # REVERSIBLE :func:`_escape_uri` so distinct urls can never collide.)
     if b"\r" in v or b"\n" in v:
         v = v.replace(b"\r", b"%0D").replace(b"\n", b"%0A")
     return v
+
+
+def _escape_uri(v: bytes) -> tuple[bytes, bool]:
+    """Reversible CR/LF escaping for the WARC-Target-URI (ADVICE r04 #1):
+    '%' is escaped FIRST ('%25'), so a url legitimately containing the
+    literal text '%0D'/'%0A' can no longer render identical bytes to a url
+    containing real CR/LF — the encoding is injective and
+    :func:`_unescape_uri` inverts it exactly. Applied ONLY when the value
+    actually carries CR/LF (raw CR/LF is invalid in an RFC 3986 URI, so
+    this is the hostile-input path); ordinary urls — including every
+    percent-encoded one — render verbatim, keeping foreign-WARC byte
+    compatibility. Returns (escaped, was_escaped)."""
+    if b"\r" not in v and b"\n" not in v:
+        return v, False
+    v = v.replace(b"%", b"%25").replace(b"\r", b"%0D").replace(b"\n", b"%0A")
+    return v, True
+
+
+def _unescape_uri(s: str) -> str:
+    """Exact inverse of :func:`_escape_uri` (CR/LF first, then '%25' — the
+    reverse substitution order makes the round trip an identity). Applied
+    on parse ONLY when the record carries the ``WSS-URI-Escaped`` marker
+    our packer writes, so foreign WARC segments — whose target URIs
+    routinely contain legitimate percent-encodings like '%25'/'%0D' — are
+    never corrupted by a spurious unescape."""
+    return s.replace("%0D", "\r").replace("%0A", "\n").replace("%25", "%")
 
 
 def _record(headers: list[tuple[bytes, bytes]], payload: bytes) -> bytes:
@@ -119,18 +147,19 @@ def render_warc_segment(
             + b"Content-Length: " + str(len(html)).encode("ascii") + _CRLF
             + _CRLF + html
         )
-        out.append(
-            _record(
-                [
-                    (b"WARC-Type", b"response"),
-                    (b"WARC-Target-URI", url.encode("utf-8")),
-                    (b"WARC-Date", _iso(ts)),
-                    (b"WARC-Record-ID", _rid(url.encode("utf-8") + _iso(ts))),
-                    (b"Content-Type", b"application/http; msgtype=response"),
-                ],
-                http,
-            )
-        )
+        uri, escaped = _escape_uri(url.encode("utf-8"))
+        headers = [
+            (b"WARC-Type", b"response"),
+            (b"WARC-Target-URI", uri),
+            (b"WARC-Date", _iso(ts)),
+            (b"WARC-Record-ID", _rid(url.encode("utf-8") + _iso(ts))),
+            (b"Content-Type", b"application/http; msgtype=response"),
+        ]
+        if escaped:
+            # extension field marking a reversibly-escaped URI; the parser
+            # unescapes ONLY when it sees this, so foreign WARCs are safe
+            headers.append((b"WSS-URI-Escaped", b"percent"))
+        out.append(_record(headers, http))
     if gzip_members:
         return b"".join(_gzip_member(r) for r in out)
     return b"".join(out)
@@ -157,8 +186,12 @@ def pages_to_warc(
     then each segment renders map-side in one Arrow batch.
 
     Header-value safety: CR/LF bytes in a url (externally controlled) are
-    percent-escaped (%0D/%0A) in the rendered WARC-Target-URI — such urls
-    round-trip to their escaped form rather than injecting header lines.
+    reversibly percent-escaped in the rendered WARC-Target-URI ('%' first,
+    so the encoding is injective — ADVICE r04 #1), the record is tagged
+    ``WSS-URI-Escaped: percent``, and :func:`parse_warc` inverts it — so
+    pages → WARC → pages is an identity on EVERY url, hostile ones
+    included, and two distinct input urls can never collide. Urls without
+    CR/LF (every valid RFC 3986 URI) render byte-verbatim.
     """
     width = len(str(max(n_segments - 1, 1)))
     gz = bool(gzip_members)
@@ -257,9 +290,12 @@ def _parse_segment(segment_id: str, blob: bytes, strict: bool) -> Iterator[dict]
             k, _, v = line.partition(b":")
             if k.strip().lower() == b"content-type":
                 ctype = v.strip().decode("ascii", "replace")
+        uri = headers.get("warc-target-uri")
+        if uri is not None and headers.get("wss-uri-escaped") == "percent":
+            uri = _unescape_uri(uri)
         yield {
             "segment_id": segment_id,
-            "url": headers.get("warc-target-uri"),
+            "url": uri,
             "warc_ts": _parse_iso(headers["warc-date"]),
             "html": payload[http_end + 4:],
             "http_status": status,
