@@ -48,7 +48,17 @@ def test_manifest_totals(spark, docs):
     assert sharded.columns == ["doc_id", "text", "shard_id"]
     rows = manifest.collect()
     assert sum(r["n_docs"] for r in rows) == len(DOCS)
-    want_tokens = sum(len((t or "").split()) for _, t in DOCS)
+    # mirror of the canonical mixed unit (textstats.token_count): each CJK
+    # char is its own token — doc 2's unspaced Chinese counts 10, not 1
+    import re
+
+    from wss_spark.operators.textstats import CJK_CLASS
+
+    def mixed(t):
+        return len(re.sub(f"({CJK_CLASS})", r" \1 ", t or "").split())
+
+    want_tokens = sum(mixed(t) for _, t in DOCS)
+    assert want_tokens > sum(len((t or "").split()) for _, t in DOCS)
     assert sum(r["n_tokens"] for r in rows) == want_tokens
     want_bytes = sum(len((t or "").encode("utf-8")) for _, t in DOCS)
     assert sum(r["n_bytes"] for r in rows) == want_bytes

@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wss_spark import synth
-from wss_spark.operators import analytics, corpus, dedup, similarity, textstats
+from wss_spark.operators import (
+    analytics, corpus, dedup, similarity, textstats, tokenize,
+)
 
 
 @dataclass
@@ -65,6 +67,24 @@ def _values_table(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
 
 # SQL fragment shared by the doc pipelines (matches dedup.normalize_text)
 _NORM = r"trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))"
+# the explicit cross-engine whitespace class (ADVICE r04 #3) and the CJK
+# class — the latter is literal characters, so the SAME string is valid in
+# Java regex and RE2 (textstats.CJK_CLASS is the single definition)
+_WS = r"[ \t\n\x0B\f\r]"
+_CJK = textstats.CJK_CLASS
+
+
+def _cjk_spaced_sql(t: str) -> str:
+    """DuckDB mirror of textstats.cjk_spaced (spaces around CJK chars)."""
+    return rf"regexp_replace({t}, '({_CJK})', ' \1 ', 'g')"
+
+
+def _tok_sql(t: str) -> str:
+    """DuckDB mirror of the canonical textstats.token_count(unit='mixed')."""
+    return (
+        f"len(list_filter(string_split_regex({_cjk_spaced_sql(t)}, "
+        f"'{_WS}+'), x -> x <> ''))"
+    )
 # portable 28-bit hash (matches dedup.portable_hash28)
 def _h28(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 7)) AS BIGINT)"
@@ -1269,14 +1289,13 @@ _TOKEN_BUDGET = 15000
     "llm_token_budget",
     f"""
     WITH j AS (SELECT doc_id, {_quality_expr()} AS quality,
-                      CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
-                                           x -> x <> '')) AS BIGINT) AS ws_tokens
+                      CAST({_tok_sql('text')} AS BIGINT) AS n_tokens
                FROM documents),
-    o AS (SELECT doc_id, quality, ws_tokens,
-                 SUM(ws_tokens) OVER (ORDER BY quality DESC, doc_id
-                                      ROWS UNBOUNDED PRECEDING) AS cum
+    o AS (SELECT doc_id, quality, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
           FROM j)
-    SELECT doc_id, quality, ws_tokens FROM o WHERE cum <= {_TOKEN_BUDGET}
+    SELECT doc_id, quality, n_tokens FROM o WHERE cum <= {_TOKEN_BUDGET}
     """,
 )
 def llm_token_budget(spark, sf):
@@ -1285,16 +1304,17 @@ def llm_token_budget(spark, sf):
     DuckDB oracle is that naive cumulative window), computed WITHOUT a
     global sort: per-quality token totals (tiny, ≤1e6 distinct 6-dp
     values) pick the cutoff, and only the boundary-quality slice is
-    window-ranked (corpus.select_by_token_budget)."""
+    window-ranked (corpus.select_by_token_budget). Budgeted in the
+    canonical CJK-aware unit (textstats.token_count 'mixed' — r05)."""
     docs = _t(spark, sf, "documents")
     ann = docs.join(textstats.quality_score(docs).select("doc_id", "quality"),
                     "doc_id").join(
         textstats.token_counts(docs).select(
-            "doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens")),
+            "doc_id", F.col("cjk_tokens").cast("long").alias("n_tokens")),
         "doc_id")
     return corpus.select_by_token_budget(
-        ann, _TOKEN_BUDGET
-    ).select("doc_id", "quality", "ws_tokens")
+        ann, _TOKEN_BUDGET, tokens_col="n_tokens"
+    ).select("doc_id", "quality", "n_tokens")
 
 
 @_q("llm_corpus_clean", _corpus_clean_sql())
@@ -1700,18 +1720,19 @@ def ts_lang_id(spark, sf):
 
 @_q(
     "ts_token_counts",
-    r"""
+    rf"""
     SELECT doc_id,
-           CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> ''))
+           CAST(len(list_filter(string_split_regex(text, '{_WS}+'), x -> x <> ''))
                AS INTEGER) AS ws_tokens,
            CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), x -> x <> ''))
                AS INTEGER) AS word_tokens,
+           CAST({_tok_sql('text')} AS INTEGER) AS cjk_tokens,
            CAST(length(text) AS INTEGER) AS n_chars
     FROM documents
     """,
 )
 def ts_token_counts(spark, sf):
-    """Whitespace + BPE-ish word token counting."""
+    """Whitespace + BPE-ish word + canonical CJK-aware token counting."""
     return textstats.token_counts(_t(spark, sf, "documents"))
 
 
@@ -1749,10 +1770,11 @@ def ts_fingerprint(spark, sf):
     return textstats.fingerprint(_t(spark, sf, "documents"))
 
 
-_WORD_REP_SQL = r"""
+_WORD_REP_SQL = rf"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS ws
+         list_filter(string_split_regex({_cjk_spaced_sql('text')}, '{_WS}+'),
+                     x -> x <> '') AS ws
   FROM documents
 ), s AS (
   SELECT doc_id, ws, list_distinct(ws) AS uniq,
@@ -1951,8 +1973,7 @@ def _pack_sql(max_tokens: int, n_groups: int) -> str:
     return rf"""
     WITH staged AS (
       SELECT doc_id,
-             CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
-                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST({_tok_sql('text')} AS BIGINT) AS n_tokens,
              {h} AS h
       FROM documents
     ),
@@ -2134,6 +2155,215 @@ def llm_pack_sequences(spark, sf):
         _t(spark, sf, "documents").select("doc_id", "text"),
         max_tokens=64, n_groups=8,
     )
+
+
+# ===========================================================================
+# §r05 trainable subword tokenizer (BPE) — VERDICT r04 next #1. Training is
+# DataFrame-native (tokenize.train_bpe: one corpus pass builds the
+# distinct-word table, each merge round is one pair-count aggregation over
+# the VOCABULARY) and the DuckDB oracle replays EVERY merge round as
+# unrolled CTEs — the llm_quality_classifier / llm_perplexity
+# whole-training-loop-replay precedent — so the learned merge list is
+# value-checked against an independent engine, not against the
+# implementation. The fixture corpus is unspaced Chinese + English: the
+# Chinese merges in the checked output are the direct evidence that the
+# tokenizer is non-degenerate on the reference's CJK domain.
+# ===========================================================================
+
+# Mixed training fixture: small enough that the unrolled replay is cheap,
+# repetitive enough that every merge round clears min_pair_freq (pinned by
+# tests/test_tokenize.py — if a round dried up, the m{i} CTE would go empty
+# and the replay would diverge instead of silently passing). BMP-only: both
+# engines' regex '.' and string compare agree per code point there.
+_BPE_DOCS: list[tuple[int, str]] = [
+    (9000001, "香港特别行政区欢迎你 香港特别行政区欢迎你"),
+    (9000002, "微博超级话题的热门评论和转发"),
+    (9000003, "微博超级话题的热门评论和转发 每天更新"),
+    (9000004, "the quick brown fox jumps over the lazy dog"),
+    (9000005, "the quick brown fox jumps over the lazy dog again"),
+    (9000006, "deep learning models train on web text corpora"),
+    (9000007, "deep learning models train on web scale corpora"),
+    (9000008, "香港的天气很好 今天的天气很好"),
+    (9000009, "数据管道需要正确的分词统计"),
+    (9000010, "数据管道需要正确的分词统计 分词统计很重要"),
+    (9000011, "lower lower lowest lowest newer newer newest newest"),
+    (9000012, "wider wider widest widest 新闻报道 新闻报道"),
+]
+_BPE_MERGES = 16
+_BPE_MIN_FREQ = 2
+_BPE_WLEN = 32
+
+
+def _bpe_fixture_df(spark):
+    return spark.createDataFrame(_BPE_DOCS, "doc_id long, text string")
+
+
+def _bpe_corpus_sql() -> str:
+    return _values_table(
+        list(_BPE_DOCS), [("doc_id", "BIGINT"), ("text", "VARCHAR")]
+    )
+
+
+# DuckDB mirror of tokenize._pretokens applied to a `text` column: dedup
+# normalization (catalog._NORM parity), sentinel strip, long-run chunking —
+# then string_split(' ') at the use sites.
+_BPE_CHUNK = (
+    "regexp_replace(regexp_replace("
+    "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),"
+    " '[\\x01\\x02]', '', 'g'),"
+    f" '([^ ]{{{_BPE_WLEN}}})', '\\1 ', 'g')"
+)
+# DuckDB mirror of tokenize.render_word over a `word` column: every char
+# becomes chr(1)-sentinel + char + space, last char carries </w>.
+_BPE_RENDER = (
+    "regexp_replace(regexp_replace(word, '(.)', chr(1) || '\\1 ', 'g'),"
+    " '([^ ]+) $', '\\1</w> ', 'g')"
+)
+
+
+def _bpe_rounds_sql() -> str:
+    """The shared training-replay CTE chain (expects a ``corpus(doc_id,
+    text)`` CTE upstream): wf = word frequencies (the one corpus pass),
+    w{i} = the vocabulary state after i merges, p{i} = adjacent-pair counts,
+    m{i} = the round's argmax merge under the engine's exact tie-break
+    (count desc, lhs||chr(1)||rhs asc — both engines compare strings by
+    UTF-8 bytes, identical for BMP text). Every CTE is MATERIALIZED:
+    DuckDB inlines plain CTEs, and w{i} is referenced twice per round
+    (p{i} and w{i+1}), so the un-materialized plan doubles per round —
+    2^16 blowup — while materialized it is strictly linear."""
+    sql = f"""
+wf AS MATERIALIZED (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split({_BPE_CHUNK}, ' '),
+                              x -> x <> '')) AS word
+    FROM corpus)
+  GROUP BY word
+),
+w0 AS MATERIALIZED (SELECT {_BPE_RENDER} AS state, freq FROM wf)"""
+    for i in range(_BPE_MERGES):
+        sql += f""",
+p{i} AS MATERIALIZED (
+  SELECT substr(syms[j], 2) AS lhs, substr(syms[j+1], 2) AS rhs,
+         SUM(freq) AS c
+  FROM (SELECT list_filter(string_split(state, ' '), x -> x <> '') AS syms,
+               freq FROM w{i}),
+       unnest(range(1, len(syms))) AS t(j)
+  GROUP BY lhs, rhs
+),
+m{i} AS MATERIALIZED (
+  SELECT {i} AS rank, lhs, rhs, c FROM p{i}
+  WHERE c >= {_BPE_MIN_FREQ}
+  ORDER BY c DESC, (lhs || chr(1) || rhs) ASC LIMIT 1
+),
+w{i + 1} AS MATERIALIZED (
+  SELECT replace(state, chr(1) || lhs || ' ' || chr(1) || rhs || ' ',
+                 chr(1) || lhs || rhs || ' ') AS state, freq
+  FROM w{i}, m{i}
+)"""
+    return sql
+
+
+def _bpe_train_sql() -> str:
+    un = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(_BPE_MERGES))
+    return f"""
+WITH corpus AS MATERIALIZED ({_bpe_corpus_sql()}),
+{_bpe_rounds_sql().lstrip()}
+SELECT CAST(rank AS INTEGER) AS rank, lhs, rhs,
+       CAST(c AS BIGINT) AS pair_count
+FROM ({un}) ORDER BY rank
+"""
+
+
+@_q("bpe_train_merges", _bpe_train_sql())
+def bpe_train_merges(spark, sf):
+    """In-engine BPE training (Sennrich 2016; tokenize.train_bpe): the
+    learned merge list — rank, pair, weighted pair count — on the mixed
+    Chinese/English fixture. The oracle replays all 16 merge rounds
+    (pair-count → argmax-with-tie-break → literal-replace merge) as
+    unrolled DuckDB CTEs from the raw corpus."""
+    merges = tokenize.train_bpe(
+        _bpe_fixture_df(spark), n_merges=_BPE_MERGES,
+        min_pair_freq=_BPE_MIN_FREQ, max_word_len=_BPE_WLEN,
+    )
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_count long"
+    )
+
+
+def _bpe_counts_sql() -> str:
+    """Training replay on the fixture corpus + ENCODE replay over the
+    documents table ∪ fixture: per-word render, the same 16 literal
+    replaces in rank order, token count = surviving sentinel count."""
+    chain = "d0"
+    rounds = ""
+    for i in range(_BPE_MERGES):
+        rounds += f""",
+d{i + 1} AS MATERIALIZED (
+  SELECT doc_id,
+         replace(state, chr(1) || lhs || ' ' || chr(1) || rhs || ' ',
+                 chr(1) || lhs || rhs || ' ') AS state
+  FROM d{i}, m{i}
+)"""
+        chain = f"d{i + 1}"
+    return f"""
+WITH corpus AS MATERIALIZED ({_bpe_corpus_sql()}),
+{_bpe_rounds_sql().lstrip()},
+enc AS MATERIALIZED (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM corpus),
+d0 AS MATERIALIZED (
+  SELECT doc_id, {_BPE_RENDER} AS state FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split({_BPE_CHUNK}, ' '),
+                              x -> x <> '')) AS word
+    FROM enc)
+){rounds},
+counts AS (
+  SELECT doc_id,
+         SUM(length(state) - length(replace(state, chr(1), ''))) AS n
+  FROM {chain} GROUP BY doc_id
+)
+SELECT e.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id FROM enc) e LEFT JOIN counts USING (doc_id)
+"""
+
+
+@_q("bpe_token_counts", _bpe_counts_sql())
+def bpe_token_counts(spark, sf):
+    """BPE encoding at table scale (tokenize.bpe_token_counts): train on
+    the fixture (the domain sample), encode documents ∪ fixture — one
+    explode + chained literal replaces + one map-side-combined sum, no
+    joins in the hot path. The oracle replays training AND encoding."""
+    merges = tokenize.train_bpe(
+        _bpe_fixture_df(spark), n_merges=_BPE_MERGES,
+        min_pair_freq=_BPE_MIN_FREQ, max_word_len=_BPE_WLEN,
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", "text").unionByName(
+        _bpe_fixture_df(spark)
+    )
+    return tokenize.bpe_token_counts(docs, merges)
+
+
+@_q(
+    "ts_cjk_tokens",
+    f"""
+    WITH corpus AS ({_bpe_corpus_sql()})
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '{_WS}+'),
+                                x -> x <> '')) AS INTEGER) AS ws_tokens,
+           CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                                x -> x <> '')) AS INTEGER) AS word_tokens,
+           CAST({_tok_sql('text')} AS INTEGER) AS cjk_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars
+    FROM corpus
+    """,
+)
+def ts_cjk_tokens(spark, sf):
+    """The canonical mixed token unit on ACTUAL CJK text (the driver's
+    documents table is latin-only, where mixed == ws by construction):
+    on the unspaced-Chinese fixture the value-checked cjk_tokens ≈ n_chars
+    while ws_tokens collapses to ~1-2 per doc — the non-degeneracy
+    evidence for VERDICT r04 next #1."""
+    return textstats.token_counts(_bpe_fixture_df(spark))
 
 
 # ===========================================================================
@@ -3181,8 +3411,7 @@ WITH d AS (
 )
 SELECT shard_id,
   CAST(count(*) AS BIGINT) AS n_docs,
-  CAST(sum(len(list_filter(string_split_regex(t, '[ \t\n\x0B\f\r]+'), x -> x <> '')))
-       AS BIGINT) AS n_tokens,
+  CAST(sum({_tok_sql('t')}) AS BIGINT) AS n_tokens,
   CAST(sum(strlen(t)) AS BIGINT) AS n_bytes,
   CAST(sum({_h28("id || ':' || md5(t)")}) AS BIGINT) AS checksum
 FROM s GROUP BY shard_id
@@ -3289,6 +3518,16 @@ _DEMOTED = [
     # the llm_* tier — oracle coverage via the tools/check_oracle.py re-run
     # recorded in BASELINE.md (full DuckDB replay of the manifest math)
     "llm_release_manifest",
+    # demoted r05a to fit the three tokenizer gates (bpe_train_merges,
+    # bpe_token_counts, ts_cjk_tokens — VERDICT r04 next #1, new gates land
+    # in-window per the r03 window-hygiene rule): all three below were
+    # driver-green in every CORRECTNESS r01-r04 file and their shapes stay
+    # carried in-window — a1_pricing_summary (group aggregates),
+    # ts_lang_id (the per-language dimension), supertopic_active_users
+    # (distinct-user agg). Demotion re-run recorded in BASELINE.md.
+    "a3_doclen_by_lang",
+    "a6_high_value_ratio",
+    "a7_distinct_users",
     # demoted r04k to fit warc_roundtrip: the broadcast-join + agg shape is
     # carried in-window by flagship_top_commenters (join+agg on the same
     # tables) and j5_customer_enriched (enrichment join); j1 was driver-green
@@ -3330,6 +3569,9 @@ WINDOW_CRITICAL = [
     "g2_pagerank",
     "t4_recrawl_diff",
     "warc_roundtrip",
+    "bpe_train_merges",
+    "bpe_token_counts",
+    "ts_cjk_tokens",
 ]
 DRIVER_WINDOW = 50
 

@@ -394,15 +394,17 @@ def scrub_pii(docs: DataFrame, text_col: str = "text",
 
 def pack_sequences(docs: DataFrame, max_tokens: int, n_groups: int = 256,
                    id_col: str = "doc_id", text_col: str = "text",
-                   salt: str = "pack") -> DataFrame:
+                   salt: str = "pack", unit: str = "mixed") -> DataFrame:
     """Assign documents to fixed-token training windows (GPT-style stream
     packing): documents are concatenated in a deterministic
     content-addressed order and the stream is cut every ``max_tokens``; a
     document's window (``bin``) is where its first token lands — straddlers
     continue into the next window, exactly as pretraining packers split
     concatenated streams. Output: (doc_id, grp, n_tokens, start_offset,
-    bin); token counts are the whitespace tokens of
-    :func:`textstats.token_counts`.
+    bin); token counts are the canonical :func:`textstats.token_count`
+    at ``unit`` (default ``mixed`` — CJK-aware, so Chinese documents pack
+    by their real length instead of collapsing to 1 whitespace token;
+    equal to the old ws counts on latin corpora).
 
     Scale shape: ONE global ordering would funnel the corpus through a
     single sort partition. Instead the stream is ``n_groups`` independent
@@ -419,7 +421,7 @@ def pack_sequences(docs: DataFrame, max_tokens: int, n_groups: int = 256,
     h = dedup.portable_hash28(
         F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
     )
-    toks = textstats.ws_token_count(F.col(text_col))
+    toks = textstats.token_count(F.col(text_col), unit)
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         toks.cast("long").alias("n_tokens"),
@@ -436,8 +438,8 @@ def pack_sequences(docs: DataFrame, max_tokens: int, n_groups: int = 256,
 
 
 def release_shards(docs: DataFrame, n_shards: int = 1024,
-                   id_col: str = "doc_id",
-                   text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+                   id_col: str = "doc_id", text_col: str = "text",
+                   unit: str = "mixed") -> tuple[DataFrame, DataFrame]:
     """Deterministic release sharding + checksummed manifest — the terminal
     packaging step of a training-data release (the reference's analog is
     the per-spider CSV flush, `独立版/(using)WeiboUserScrapy.py:535-537`;
@@ -453,7 +455,9 @@ def release_shards(docs: DataFrame, n_shards: int = 1024,
       north-rule determinism invariant, extended to egress).
     - ``manifest`` — one row per non-empty shard:
       ``(shard_id, n_docs, n_tokens, n_bytes, checksum)``. ``n_tokens``
-      is the canonical whitespace tokenizer (textstats.ws_token_count),
+      is the canonical tokenizer (textstats.token_count at ``unit``,
+      default ``mixed`` — CJK-aware; equal to the former whitespace count
+      on latin corpora),
       ``n_bytes`` the UTF-8 octet length, and ``checksum`` an
       order-insensitive content sum: ``sum(portable_hash28(id ':' md5(
       text)))`` — any lost, duplicated, or altered document changes it,
@@ -470,10 +474,11 @@ def release_shards(docs: DataFrame, n_shards: int = 1024,
     sharded = docs.withColumn(
         "shard_id", (dedup.portable_hash28(ids) % n_shards).cast("int")
     )
-    return sharded, _manifest_agg(sharded, id_col, text_col)
+    return sharded, _manifest_agg(sharded, id_col, text_col, unit)
 
 
-def _manifest_agg(sharded: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _manifest_agg(sharded: DataFrame, id_col: str, text_col: str,
+                  unit: str = "mixed") -> DataFrame:
     """THE manifest aggregation — the single definition both the producer
     (release_shards / write_release) and the checker (verify_release) run,
     so the recompute-identically invariant the verify scheme rests on can't
@@ -484,7 +489,7 @@ def _manifest_agg(sharded: DataFrame, id_col: str, text_col: str) -> DataFrame:
     doc_check = dedup.portable_hash28(F.concat(ids, F.lit(":"), F.md5(t)))
     return sharded.groupBy("shard_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(textstats.ws_token_count(t).cast("long"))
+        F.sum(textstats.token_count(t, unit).cast("long"))
         .cast("long").alias("n_tokens"),
         F.sum(F.octet_length(t).cast("long")).cast("long").alias("n_bytes"),
         F.sum(doc_check).cast("long").alias("checksum"),
@@ -492,7 +497,8 @@ def _manifest_agg(sharded: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def write_release(docs: DataFrame, out_dir: str, n_shards: int = 1024,
-                  id_col: str = "doc_id", text_col: str = "text") -> None:
+                  id_col: str = "doc_id", text_col: str = "text",
+                  unit: str = "mixed") -> None:
     """Write a release: shard-partitioned parquet under ``out_dir/data``
     (one directory per shard — a trainer reads any subset with partition
     pruning) plus the manifest under ``out_dir/_manifest``. One shuffle
@@ -506,17 +512,17 @@ def write_release(docs: DataFrame, out_dir: str, n_shards: int = 1024,
     :func:`verify_release` on a fresh, untampered release is always
     clean."""
     spark = docs.sparkSession
-    (release_shards(docs, n_shards, id_col, text_col)[0]
+    (release_shards(docs, n_shards, id_col, text_col, unit)[0]
      .repartition("shard_id")
      .write.mode("overwrite").partitionBy("shard_id")
      .parquet(f"{out_dir}/data"))
     written = spark.read.parquet(f"{out_dir}/data")
-    (_manifest_agg(written, id_col, text_col)
+    (_manifest_agg(written, id_col, text_col, unit)
      .write.mode("overwrite").parquet(f"{out_dir}/_manifest"))
 
 
 def verify_release(spark, out_dir: str, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text", unit: str = "mixed") -> DataFrame:
     """Recompute the manifest from the written shard bytes and diff it
     against the stored one. Returns the mismatch rows
     ``(shard_id, field, expected, actual)`` — empty means the release is
@@ -524,7 +530,7 @@ def verify_release(spark, out_dir: str, id_col: str = "doc_id",
     Full outer join on shard_id so missing and phantom shards both show."""
     stored = spark.read.parquet(f"{out_dir}/_manifest")
     data = spark.read.parquet(f"{out_dir}/data")
-    actual = _manifest_agg(data, id_col, text_col)
+    actual = _manifest_agg(data, id_col, text_col, unit)
     fields = ["n_docs", "n_tokens", "n_bytes", "checksum"]
     e = stored.select("shard_id", *[F.col(f).alias(f"_e_{f}") for f in fields])
     a = actual.select("shard_id", *[F.col(f).alias(f"_a_{f}") for f in fields])

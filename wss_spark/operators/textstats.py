@@ -90,18 +90,67 @@ ASCII_WS = r"[ \t\n\x0B\f\r]"
 
 
 def ws_token_count(t: Column) -> Column:
-    """Whitespace token count of a text column — THE canonical tokenizer
-    expression every token-consuming operator shares (token_counts,
-    quality_parts, corpus.pack_sequences); the DuckDB oracles mirror it as
-    ``len(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
-    x -> x <> ''))`` (catalog._WS_SQL — the explicit class, ADVICE r04 #3).
-    One definition so a parity fix here can't desynchronize call sites."""
+    """Whitespace token count of a text column; the DuckDB oracles mirror
+    it as ``len(list_filter(string_split_regex(text,
+    '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))`` (the explicit class, ADVICE
+    r04 #3). Kept as the explicit latin-only unit; the CANONICAL token
+    accounting every token-consuming operator now shares is
+    :func:`token_count` with its CJK-aware ``mixed`` default (VERDICT r04
+    next #1 — on the reference's Chinese-text domain a whitespace count
+    collapses a whole document to ~1 token)."""
     return F.size(F.filter(F.split(t, ASCII_WS + "+"), lambda x: x != ""))
 
 
+# CJK code points that carry no inter-word whitespace: CJK Unified
+# Ideographs (U+4E00–U+9FFF), Extension A (U+3400–U+4DBF), Compatibility
+# Ideographs (U+F900–U+FAFF), and kana (U+3040–U+30FF). Written as literal
+# characters, so the SAME class string is valid in Java regex (Spark) and
+# RE2 (the DuckDB mirrors) — no engine-specific \\u vs \\x{} spelling.
+CJK_CLASS = "[㐀-䶿一-鿿豈-﫿぀-ヿ]"
+
+
+def cjk_spaced(t: Column) -> Column:
+    """Insert spaces around every CJK code point, so a downstream
+    whitespace split treats each ideograph/kana as its own token while
+    latin words are untouched — the published CJK convention for word-less
+    scripts (each character ≈ one token; e.g. the mBART/CCNet char-level
+    handling of Chinese). On CJK-free text this is the identity, which is
+    what lets every existing latin-table gate keep its value hash while
+    the unit goes live."""
+    return F.regexp_replace(t, f"({CJK_CLASS})", " $1 ")
+
+
+def token_count(t: Column, unit: str = "mixed") -> Column:
+    """THE canonical token count (one definition shared by token_counts,
+    corpus.pack_sequences, corpus.release_shards manifests, the
+    token-budget inputs and the Gopher word rules — a parity fix here
+    cannot desynchronize call sites; DuckDB mirror: catalog._tok_sql).
+
+    Units:
+
+    - ``mixed`` (default): whitespace tokens after :func:`cjk_spaced` —
+      each CJK char is its own token, latin words split on whitespace.
+      Equal to ``ws`` on CJK-free text; non-degenerate on Chinese.
+    - ``ws``: plain whitespace tokens (:func:`ws_token_count`).
+    - ``char``: every non-whitespace code point (the BigramLM char unit,
+      corpus._token_seq)."""
+    if unit == "mixed":
+        return F.size(
+            F.filter(F.split(cjk_spaced(t), ASCII_WS + "+"),
+                     lambda x: x != "")
+        )
+    if unit == "ws":
+        return ws_token_count(t)
+    if unit == "char":
+        return F.length(F.regexp_replace(t, ASCII_WS + "+", ""))
+    raise ValueError(f"unknown token unit {unit!r} (mixed|ws|char)")
+
+
 def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, ws_tokens, word_tokens, n_chars): whitespace tokens and
-    BPE-ish word tokens (alnum runs)."""
+    """(doc_id, ws_tokens, word_tokens, cjk_tokens, n_chars): whitespace
+    tokens, BPE-ish word tokens (alnum runs), and the canonical CJK-aware
+    mixed count (:func:`token_count` — equal to ws_tokens on latin text,
+    ≈ n_chars on Chinese)."""
     t = F.col(text_col)
     ws = ws_token_count(t)
     words = F.size(F.filter(F.split(t, r"[^a-zA-Z0-9]+"), lambda x: x != ""))
@@ -109,6 +158,7 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.col(id_col).alias("doc_id"),
         ws.alias("ws_tokens"),
         words.alias("word_tokens"),
+        token_count(t, "mixed").alias("cjk_tokens"),
         F.length(t).alias("n_chars"),
     )
 
@@ -172,7 +222,11 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
 def _words_col(text: Column) -> Column:
-    return F.filter(F.split(text, ASCII_WS + "+"), lambda x: x != "")
+    # canonical mixed words (CJK chars are their own words — identity on
+    # latin text, so the Gopher/repetition gates' latin values are
+    # untouched while the rules stop collapsing Chinese docs to 1 "word")
+    return F.filter(F.split(cjk_spaced(text), ASCII_WS + "+"),
+                    lambda x: x != "")
 
 
 # ASCII-whitespace edge trim: Spark's F.trim strips ONLY the space

@@ -1429,7 +1429,13 @@ ASCII_WS = " \t\r\n\f\x0b"
 
 
 def _ls_words(text: str) -> list[str]:
-    return [w for w in re.split(r"[ \t\r\n\f\x0b]+", text) if w != ""]
+    # mirror of textstats._words_col: canonical mixed words — each CJK
+    # code point its own word (identity on the latin fixtures), then the
+    # explicit ASCII whitespace split
+    from wss_spark.operators.textstats import CJK_CLASS
+
+    spaced = re.sub(f"({CJK_CLASS})", r" \1 ", text)
+    return [w for w in re.split(r"[ \t\r\n\f\x0b]+", spaced) if w != ""]
 
 
 def _ls_lines(text: str) -> list[str]:
