@@ -563,6 +563,82 @@ def test_dedup_near_embeddings(spark):
     assert set(range(8)) <= set(kept)
 
 
+def test_embed_text_edge_inputs(spark):
+    """Null / empty / whitespace-only / shorter-than-n text all embed to the
+    all-zero vector (the guarded gram offsets — Spark's sequence(1, 0) would
+    otherwise DESCEND and fabricate grams from short strings)."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  \t "), (4, "ab"), (5, "hello world")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["embedding"]
+           for r in similarity.embed_text(docs, dim=8, n=3).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    for i in (1, 2, 3, 4):
+        assert got[i] == [0.0] * 8, (i, got[i])
+    assert any(v != 0.0 for v in got[5])
+
+
+def test_embed_text_known_values(spark):
+    """The hashed signed char-n-gram math replayed independently in Python
+    (same portable md5 hash, bucket = h % dim, sign by parity of h // dim) —
+    the unit-level pin of the cross-engine contract the
+    dd_text_embedding_dedup oracle rides on."""
+    import hashlib
+
+    text, dim, n = "the Quick  brown fox", 8, 3
+    nt = "the quick brown fox"  # normalize: lower + collapse ws + trim
+    expect = [0.0] * dim
+    for off in range(len(nt) - n + 1):
+        g = nt[off:off + n]
+        h = int(hashlib.md5(("emb:" + g).encode()).hexdigest()[:7], 16)
+        expect[h % dim] += 1.0 if (h // dim) % 2 == 0 else -1.0
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    [row] = similarity.embed_text(docs, dim=dim, n=n).collect()
+    assert row["embedding"] == expect
+    # integer-valued by construction (sums of ±1) — the exactness property
+    # the oracle's 4-dp cosine replay relies on
+    assert all(v == int(v) for v in row["embedding"])
+
+
+def test_embed_text_partition_invariance(spark):
+    docs = _docs(spark, [f"doc number {i} says alpha beta gamma {i * 17}"
+                         for i in range(40)])
+    one = {r["doc_id"]: r["embedding"]
+           for r in similarity.embed_text(docs.coalesce(1), dim=16, n=4).collect()}
+    many = {r["doc_id"]: r["embedding"]
+            for r in similarity.embed_text(docs.repartition(7), dim=16, n=4).collect()}
+    assert one == many
+
+
+def test_dedup_near_text_recall_vs_word_overlap(spark):
+    """TEXT-in near-dedup end to end at the calibrated operating point
+    (dim=32, char-5-grams, cosine ≥ 0.9): every word-overlap ground-truth
+    pair (3-shingle Jaccard ≥ 0.5) collapses to one survivor, and documents
+    with no high-overlap partner all survive."""
+    base_a = ("the quick brown fox jumps over the lazy dog while the sun "
+              "sets slowly behind the old wooden barn near the river")
+    base_b = ("machine learning pipelines require careful data validation "
+              "and deterministic feature hashing for reproducible results")
+    texts = [
+        base_a,                                # 0: rep of cluster {0, 1}
+        base_a.replace("lazy dog", "lazy cat"),  # 1: near-dup of 0
+        base_b,                                # 2: rep of cluster {2, 3}
+        base_b + " at scale",                  # 3: near-dup of 2
+        "completely unrelated words about cooking pasta with fresh basil",
+        "another distinct document discussing quarterly financial reports",
+        "short text",                          # 6: < 5 chars of overlap, survives
+    ]
+    docs = _docs(spark, texts)
+    gt = {(r["doc_a"], r["doc_b"])
+          for r in dedup.jaccard_pairs(dedup.shingles(docs, 3), 0.5).collect()}
+    assert gt == {(0, 1), (2, 3)}  # the word-overlap ground truth
+    kept = sorted(r["doc_id"]
+                  for r in similarity.dedup_near_text(docs).collect())
+    # every GT pair collapsed to its min id; everything else survived
+    assert kept == [0, 2, 4, 5, 6]
+
+
 def test_top_influencers(spark):
     edges = spark.createDataFrame(
         [(100, 1, "cn"), (101, 1, "cn"), (102, 2, "cn"), (103, 3, "us")],

@@ -1566,6 +1566,100 @@ def dd_embedding_dedup(spark, sf):
     ).select("vec_id")
 
 
+def _text_emb_dedup_sql(dim: int = 32, n: int = 5, n_planes: int = 3,
+                        n_tables: int = 8, thr: float = 0.9) -> str:
+    """DuckDB replay of the TEXT-in embedding near-dedup composition
+    (similarity.dedup_near_text): the hashed signed char-n-gram featurizer
+    is re-derived gram by gram (same portable hash, bucket = h % dim, sign
+    by parity of h // dim), the SRP buckets re-derived against the SAME
+    deterministic hyperplanes, exact cosine on candidates only, then an
+    independent recursive-CTE transitive closure with keep min-id — the
+    whole text → vectors → blocking → components → keep-set pipeline is
+    value-oracled end to end (VERDICT r04 next #2)."""
+    from wss_spark.operators.similarity import _srp_planes
+
+    bucket_selects = []
+    for t in range(n_tables):
+        planes = _srp_planes(dim, n_planes, t)
+        terms = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding, {lit})"
+                f" > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        bucket_selects.append(
+            f"SELECT doc_id, {t} AS tbl, ({' + '.join(terms)}) AS bucket"
+            " FROM emb"
+        )
+    buckets = "\nUNION ALL\n".join(bucket_selects)
+    hh = _h28("'emb:' || g")
+    return f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, coalesce({_NORM}, '') AS nt FROM documents),
+    grams AS (SELECT doc_id, substr(nt, CAST(off AS INTEGER), {n}) AS g
+              FROM (SELECT doc_id, nt,
+                           unnest(generate_series(
+                               1, greatest(strlen(nt) - {n - 1}, 0))) AS off
+                    FROM d)),
+    bs AS (SELECT doc_id, {hh} % {dim} AS b,
+                  CASE WHEN ({hh} // {dim}) % 2 = 0
+                       THEN 1.0 ELSE -1.0 END AS s
+           FROM grams),
+    comp AS (SELECT doc_id, b, SUM(s) AS v FROM bs GROUP BY 1, 2),
+    grid AS (SELECT d.doc_id, gi.i FROM d, generate_series(0, {dim - 1}) AS gi(i)),
+    vecs AS (SELECT grid.doc_id, grid.i, coalesce(comp.v, 0.0) AS v
+             FROM grid LEFT JOIN comp
+               ON comp.doc_id = grid.doc_id AND comp.b = grid.i),
+    emb AS MATERIALIZED (
+        SELECT doc_id, CAST(list(v ORDER BY i) AS DOUBLE[]) AS embedding
+        FROM vecs GROUP BY doc_id),
+    buckets AS MATERIALIZED ({buckets}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM buckets a JOIN buckets b
+               ON a.tbl = b.tbl AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id),
+    dims AS MATERIALIZED (
+        SELECT doc_id, i, embedding[i] AS v
+        FROM (SELECT doc_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM emb)),
+    norms AS (SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM dims GROUP BY doc_id),
+    dots AS (SELECT c.id_a, c.id_b, SUM(a.v * b.v) AS dot
+             FROM cand c JOIN dims a ON a.doc_id = c.id_a
+                         JOIN dims b ON b.doc_id = c.id_b AND a.i = b.i
+             GROUP BY 1, 2),
+    prs AS MATERIALIZED (
+        SELECT id_a, id_b
+        FROM dots JOIN norms na ON na.doc_id = id_a
+                  JOIN norms nb ON nb.doc_id = id_b
+        WHERE na.nrm > 0 AND nb.nrm > 0
+          AND ROUND(dot / (na.nrm * nb.nrm), 4) >= {thr}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM prs
+              UNION SELECT id_b, id_a FROM prs),
+    reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                    UNION
+                    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    clusters AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> rep)
+    """
+
+
+@_q("dd_text_embedding_dedup", _text_emb_dedup_sql())
+def dd_text_embedding_dedup(spark, sf):
+    """End-to-end TEXT-in embedding near-dedup: documents in → surviving
+    doc_ids out, through the in-engine hashed char-5-gram featurizer
+    (similarity.embed_text, dim=32) → single-scan SRP blocking → exact
+    cosine ≥ 0.9 on candidates → hash-min components → keep min-id. The
+    calibrated operating point recovers exactly the word-3-shingle
+    Jaccard ≥ 0.5 ground-truth pairs on this table (precision 1.0,
+    recall 1.0 — see dedup_near_text's docstring)."""
+    return similarity.dedup_near_text(
+        _t(spark, sf, "documents"), 0.9, dim=32, n=5, n_planes=3, n_tables=8
+    ).select("doc_id")
+
+
 def _srp_topk_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 8,
                   k: int = 5) -> str:
     """DuckDB replay of the full SRP ANN top-k path: corpus buckets and
@@ -3534,6 +3628,14 @@ _DEMOTED = [
     # in r01-r03 CORRECTNESS files and stays value-green in the demoted
     # re-run recorded in BASELINE.md
     "j1_supplier_revenue",
+    # demoted r05b to fit dd_text_embedding_dedup (the text→embedding
+    # featurizer composition, VERDICT r04 next #2): ann_cosine_topk's exact
+    # cosine + round math runs verbatim in-window inside
+    # dd_embedding_pairs_blocked (same embedding_near_pairs scoring) and its
+    # deterministic top-k rank math inside ann_srp_topk / ann_ivf_topk
+    # (same window rank over the same sim column); driver-green r01-r04.
+    # Demotion re-run recorded in BASELINE.md.
+    "ann_cosine_topk",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the
@@ -3572,6 +3674,7 @@ WINDOW_CRITICAL = [
     "bpe_train_merges",
     "bpe_token_counts",
     "ts_cjk_tokens",
+    "dd_text_embedding_dedup",
 ]
 DRIVER_WINDOW = 50
 
