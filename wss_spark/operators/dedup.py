@@ -309,7 +309,7 @@ def minhash_lsh_dedup(docs: DataFrame, n: int = 3, k: int = 16,
 
 
 def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
-                 max_iter: int = 25) -> DataFrame:
+                 max_iter: int = 25, stats: dict | None = None) -> DataFrame:
     """Resolve near-duplicate PAIRS into connected components:
     (doc_id, cluster_rep) with cluster_rep = the component's min doc_id —
     the terminal stage of a training-data dedup pipeline (the reference's
@@ -337,6 +337,12 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
     O(max_iter) (cleaner lag bounds the transient overlap). Only
     nodes that appear in ``pairs`` are emitted; unpaired documents are
     implicitly their own singleton (see :func:`dedup_by_clusters`).
+
+    ``stats``: optional dict filled with ``{"rounds": <iterations run>,
+    "converged": <bool>}`` — the observability hook the adversarial-shape
+    tests use to pin the O(log diameter) claim (a 10k-node path must
+    converge in ~log2(d) rounds, not O(d); VERDICT r04 next #3). The
+    count includes the final no-change round that proves the fixpoint.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -350,7 +356,9 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    rounds, converged = 0, False
     for _ in range(max_iter):
+        rounds += 1
         nbr = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -379,8 +387,12 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
         n_changed = jumped.filter(F.col("label") != F.col("_old")).count()
         labels = jumped.select("node", "label")
         if n_changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
     )
