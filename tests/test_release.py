@@ -102,3 +102,43 @@ def test_verify_catches_tamper(spark, docs, tmp_path):
 def test_bad_n_shards(docs):
     with pytest.raises(ValueError):
         corpus.release_shards(docs, n_shards=0)
+
+
+def test_release_crash_before_marker(spark, docs, tmp_path):
+    """Crash-between-write-and-marker (VERDICT r04 next #4): the on-disk
+    state of a writer that died after the data/manifest parquet landed but
+    before the commit point is exactly 'everything minus the marker'. The
+    release must read as uncommitted, verify_release must REFUSE it, and a
+    re-run must recover to a committed, verifiably clean release."""
+    import os
+
+    out = str(tmp_path / "rel_crash")
+    corpus.write_release(docs, out, n_shards=4)
+    assert corpus.release_committed(out)
+
+    # simulate the crash: marker is written last, so removing it reproduces
+    # the exact pre-commit on-disk state
+    os.remove(os.path.join(out, "_RELEASE_COMMIT.json"))
+    assert not corpus.release_committed(out)
+    with pytest.raises(ValueError, match="uncommitted"):
+        corpus.verify_release(spark, out)
+
+    # recovery: the writer re-runs idempotently (overwrite + marker last)
+    corpus.write_release(docs, out, n_shards=4)
+    assert corpus.release_committed(out)
+    assert corpus.verify_release(spark, out).count() == 0
+
+
+def test_release_marker_totals_match_manifest(spark, docs, tmp_path):
+    import json, os
+
+    out = str(tmp_path / "rel_tot")
+    corpus.write_release(docs, out, n_shards=4)
+    with open(os.path.join(out, "_RELEASE_COMMIT.json")) as f:
+        marker = json.load(f)
+    man = spark.read.parquet(f"{out}/_manifest")
+    tot = man.agg(F.sum("n_docs"), F.sum("n_tokens"), F.sum("n_bytes")).first()
+    assert marker["n_docs"] == tot[0] == len(DOCS)
+    assert marker["n_tokens"] == tot[1]
+    assert marker["n_bytes"] == tot[2]
+    assert marker["n_nonempty_shards"] == man.count()

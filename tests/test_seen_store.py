@@ -136,3 +136,82 @@ def test_flat_threshold_zero_forces_bucketed(spark, tmp_path):
                                flat_max_keys=0)
     assert not checkpoint._is_flat_wave_dir(
         os.path.join(root, "seen_keys", "wave=00000"))
+
+
+def test_segment_marker_records_zones(spark, tmp_path):
+    """compact_seen_keys records per-bucket [min, max, n] url_hash zones in
+    the commit marker, computed from the WRITTEN segment bytes."""
+    root = str(tmp_path / "ck")
+    for w in range(3):
+        checkpoint.write_seen_keys(root, w, _keys(spark, w))
+    checkpoint.compact_seen_keys(spark, root, 0, 2)
+    seg = os.path.join(root, "seen_segments", "seg=00000-00002")
+    with open(os.path.join(seg, "_SEG_COMMIT.json")) as f:
+        zones = json.load(f)["zones"]
+    want = (
+        checkpoint.read_seen_keys(spark, root, 2)
+        .groupBy("bucket")
+        .agg(F.min("url_hash"), F.max("url_hash"), F.count(F.lit(1)))
+        .collect()
+    )
+    assert zones == {
+        str(r[0]): [r[1], r[2], r[3]] for r in want
+    }
+
+
+def test_zone_pruned_read_exact_for_antijoin(spark, tmp_path):
+    """Zone-map pruning (VERDICT r04 next #4): with probe hash ranges, a
+    read may drop whole segment bucket leaves — but it must keep EVERY key
+    whose hash falls inside its bucket's probe range (the anti-join
+    correctness contract), and it must actually prune when a range
+    excludes a zone."""
+    root = str(tmp_path / "ck")
+    for w in range(4):
+        checkpoint.write_seen_keys(root, w, _keys(spark, w))
+    checkpoint.compact_seen_keys(spark, root, 0, 3)
+    full = _collect(checkpoint.read_seen_keys(spark, root, 3))
+
+    # probe ranges that cover everything → identical to the bucket-pruned read
+    cover = {b: (0, 10**9) for b in range(8)}
+    got = _collect(checkpoint.read_seen_keys(
+        spark, root, 3, buckets=list(range(8)), probe_ranges=cover))
+    assert got == full
+
+    # a range below every stored hash (waves 0..3 → hashes ≥ 0, < 4000;
+    # probe (10^7, 2*10^7)) must prune the segment leaves to nothing
+    away = {b: (10**7, 2 * 10**7) for b in range(8)}
+    pruned = checkpoint.read_seen_keys(
+        spark, root, 3, buckets=list(range(8)), probe_ranges=away)
+    assert pruned is None or pruned.count() == 0
+
+    # a mixed case: bucket 1's true range, bucket 2 probed far away —
+    # bucket 1 keys all present, bucket 2 contributes nothing, and the
+    # anti-join result equals the unpruned anti-join for those probes
+    mixed = {1: (0, 4000), 2: (10**7, 2 * 10**7)}
+    part = checkpoint.read_seen_keys(
+        spark, root, 3, buckets=[1, 2], probe_ranges=mixed)
+    got_b1 = {t for t in _collect(part) if t[0] == 1}
+    want_b1 = {t for t in full if t[0] == 1}
+    assert got_b1 == want_b1
+    assert all(t[0] != 2 for t in _collect(part))
+
+
+def test_zone_pruning_ignores_loose_waves_and_legacy_markers(spark, tmp_path):
+    """Loose wave dirs carry no zones and must be served unpruned; a
+    segment whose marker predates the zones field is likewise unprunable
+    (read everything rather than guess)."""
+    root = str(tmp_path / "ck")
+    for w in range(4):
+        checkpoint.write_seen_keys(root, w, _keys(spark, w))
+    checkpoint.compact_seen_keys(spark, root, 0, 1)  # waves 2,3 stay loose
+    seg = os.path.join(root, "seen_segments", "seg=00000-00001")
+    with open(os.path.join(seg, "_SEG_COMMIT.json")) as f:
+        marker = json.load(f)
+    del marker["zones"]  # legacy marker format
+    with open(os.path.join(seg, "_SEG_COMMIT.json"), "w") as f:
+        json.dump(marker, f)
+    away = {b: (10**7, 2 * 10**7) for b in range(8)}
+    got = _collect(checkpoint.read_seen_keys(
+        spark, root, 3, buckets=list(range(8)), probe_ranges=away))
+    full = _collect(checkpoint.read_seen_keys(spark, root, 3))
+    assert got == full  # nothing prunable → identical to the full read

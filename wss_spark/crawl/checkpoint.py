@@ -277,8 +277,25 @@ def compact_seen_keys(spark: SparkSession, root: str, lo: int, hi: int) -> bool:
         .partitionBy("bucket")
         .parquet(seg_dir)
     )
+    # zone-map stats, computed FROM THE WRITTEN SEGMENT (they describe what
+    # landed, like write_release's manifest): per-bucket [min, max, n] of
+    # url_hash, recorded in the commit marker — the Iceberg-manifest
+    # analog. Readers prune whole bucket leaves whose hash zone cannot
+    # intersect the probe slice (read_seen_keys ``probe_ranges``) without
+    # opening a single parquet footer.
+    written = (
+        spark.read.option("basePath", _seg_root(root))
+        .schema(_SEEN_FILE_SCHEMA + ", seg string, bucket int")
+        .parquet(seg_dir)
+        .groupBy("bucket")
+        .agg(F.min("url_hash").alias("lo"), F.max("url_hash").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    zones = {str(r["bucket"]): [r["lo"], r["hi"], r["n"]] for r in written}
     atomic_json_marker(os.path.join(seg_dir, "_SEG_COMMIT.json"),
-                       {"lo": lo, "hi": hi, "committed_at": time.time()})
+                       {"lo": lo, "hi": hi, "zones": zones,
+                        "committed_at": time.time()})
     return True
 
 
@@ -288,7 +305,9 @@ def last_compacted_wave(root: str) -> int:
 
 
 def read_seen_keys(spark: SparkSession, root: str, up_to_wave: int,
-                   buckets: list[int] | None = None) -> DataFrame | None:
+                   buckets: list[int] | None = None,
+                   probe_ranges: dict[int, tuple[int, int]] | None = None
+                   ) -> DataFrame | None:
     """Exact seen keys with directory-level pruning: committed segments with
     ``hi <= up_to_wave`` serve their wave ranges (one file per bucket), loose
     wave dirs serve the rest (``wave <= up_to_wave`` ignores appends from an
@@ -301,7 +320,17 @@ def read_seen_keys(spark: SparkSession, root: str, up_to_wave: int,
     per-wave read cost is O(selected files), not O(history). An unreadable
     committed file RAISES: swallowing it would silently skip the exact seen
     anti-join for the wave and re-admit already-crawled URLs with no signal
-    (ADVICE r03 #2)."""
+    (ADVICE r03 #2).
+
+    ``probe_ranges`` (optional, {bucket: (min_hash, max_hash)} of the probe
+    slice): zone-map pruning over committed segments — a segment bucket
+    leaf whose recorded [min, max] url_hash zone (compact_seen_keys writes
+    it into _SEG_COMMIT.json) cannot intersect the probe range is skipped
+    entirely. Exact for the anti-join consumer: a seen key outside the
+    probe's hash range can never equal a probe key, so dropping the leaf
+    removes only rows that could not match. Loose wave dirs carry no zones
+    and are served unpruned; segments whose marker predates the zones field
+    likewise."""
 
     segs = []
     covered: set[int] = set()
@@ -322,8 +351,38 @@ def read_seen_keys(spark: SparkSession, root: str, up_to_wave: int,
                     out.append(bd)
         return out
 
+    def _seg_leafs(seg_dirs: list[str]) -> list[str]:
+        paths = _leafs(seg_dirs)
+        if probe_ranges is None or buckets is None:
+            return paths
+        zone_cache: dict[str, dict | None] = {}
+
+        def _zones(d: str):
+            if d not in zone_cache:
+                try:
+                    with open(os.path.join(d, "_SEG_COMMIT.json")) as f:
+                        zone_cache[d] = json.load(f).get("zones")
+                except (FileNotFoundError, json.JSONDecodeError):
+                    zone_cache[d] = None
+            return zone_cache[d]
+
+        out = []
+        for bd in paths:
+            d, leaf = os.path.split(bd)
+            if not leaf.startswith("bucket="):
+                out.append(bd)  # whole segment dir (buckets=None upstream)
+                continue
+            b = int(leaf.split("=")[1])
+            zone, pr = (_zones(d) or {}).get(str(b)), probe_ranges.get(b)
+            if zone is not None and pr is not None and (
+                pr[1] < zone[0] or pr[0] > zone[1]
+            ):
+                continue  # probe hash range cannot intersect this leaf
+            out.append(bd)
+        return out
+
     parts = []
-    seg_paths = _leafs([p for _lo, _hi, p in segs])
+    seg_paths = _seg_leafs([p for _lo, _hi, p in segs])
     if seg_paths:
         parts.append(
             spark.read.option("basePath", _seg_root(root))

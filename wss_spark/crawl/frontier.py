@@ -357,12 +357,18 @@ def run_crawl(
             if cfg.track_bloom_stats:
                 bloom_stats["n_maybe"] = maybe.count()
             if last_seen_wave >= 0:
-                maybe_buckets = [
-                    r[0] for r in maybe.select("bucket").distinct().collect()
-                ]
+                # one small job yields both the bucket list (directory-level
+                # prune) and the per-bucket probe hash range (zone-map prune
+                # over committed segments — checkpoint.read_seen_keys)
+                probe = maybe.groupBy("bucket").agg(
+                    F.min("url_hash").alias("_lo"), F.max("url_hash").alias("_hi")
+                ).collect()
+                maybe_buckets = [r["bucket"] for r in probe]
+                probe_ranges = {r["bucket"]: (r["_lo"], r["_hi"]) for r in probe}
                 if maybe_buckets:
                     seen_slice = checkpoint.read_seen_keys(
-                        spark, root, last_seen_wave, maybe_buckets
+                        spark, root, last_seen_wave, maybe_buckets,
+                        probe_ranges=probe_ranges,
                     )
                     if seen_slice is not None:
                         confirmed_new = maybe.join(

@@ -19,11 +19,14 @@ the smallest possible corpus.
 
 from __future__ import annotations
 
+import os
+import time
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from wss_spark.fsutil import atomic_json_marker
 from wss_spark.operators import dedup, textstats
 
 
@@ -510,15 +513,40 @@ def write_release(docs: DataFrame, out_dir: str, n_shards: int = 1024,
     the stored manifest describes what actually landed on disk even if the
     upstream source moved or an upstream op is nondeterministic — so
     :func:`verify_release` on a fresh, untampered release is always
-    clean."""
+    clean.
+
+    Commit protocol (the run_stages/_SEG_COMMIT marker contract, applied
+    to the egress boundary): data first, manifest second,
+    ``_RELEASE_COMMIT.json`` atomically renamed into place LAST. A crash
+    at any earlier point leaves no marker, :func:`release_committed` says
+    False, :func:`verify_release` refuses to bless the partial output, and
+    re-running ``write_release`` overwrites everything idempotently
+    (mode=overwrite on both writes; the marker is rewritten last again)."""
     spark = docs.sparkSession
     (release_shards(docs, n_shards, id_col, text_col, unit)[0]
      .repartition("shard_id")
      .write.mode("overwrite").partitionBy("shard_id")
      .parquet(f"{out_dir}/data"))
     written = spark.read.parquet(f"{out_dir}/data")
-    (_manifest_agg(written, id_col, text_col, unit)
-     .write.mode("overwrite").parquet(f"{out_dir}/_manifest"))
+    manifest = _manifest_agg(written, id_col, text_col, unit)
+    manifest.write.mode("overwrite").parquet(f"{out_dir}/_manifest")
+    totals = manifest.agg(
+        F.sum("n_docs").alias("d"), F.sum("n_tokens").alias("t"),
+        F.sum("n_bytes").alias("b"), F.count(F.lit(1)).alias("s"),
+    ).first()
+    atomic_json_marker(os.path.join(out_dir, "_RELEASE_COMMIT.json"), {
+        "n_shards": n_shards, "unit": unit,
+        "n_docs": totals["d"], "n_tokens": totals["t"],
+        "n_bytes": totals["b"], "n_nonempty_shards": totals["s"],
+        "committed_at": time.time(),
+    })
+
+
+def release_committed(out_dir: str) -> bool:
+    """True iff the release's commit marker exists — the single bit that
+    distinguishes a finished release from a crash between the data/manifest
+    writes and the commit point."""
+    return os.path.exists(os.path.join(out_dir, "_RELEASE_COMMIT.json"))
 
 
 def verify_release(spark, out_dir: str, id_col: str = "doc_id",
@@ -527,7 +555,17 @@ def verify_release(spark, out_dir: str, id_col: str = "doc_id",
     against the stored one. Returns the mismatch rows
     ``(shard_id, field, expected, actual)`` — empty means the release is
     intact; a tampered/truncated/duplicated shard surfaces with its id.
-    Full outer join on shard_id so missing and phantom shards both show."""
+    Full outer join on shard_id so missing and phantom shards both show.
+
+    Raises ``ValueError`` on an UNCOMMITTED release (no
+    ``_RELEASE_COMMIT.json``): a crash can land after both parquet writes
+    but before the commit point, and a verifier that silently blessed such
+    output would turn the marker protocol into decoration."""
+    if not release_committed(out_dir):
+        raise ValueError(
+            f"release at {out_dir} has no _RELEASE_COMMIT.json "
+            "(uncommitted or crashed write_release) — re-run write_release"
+        )
     stored = spark.read.parquet(f"{out_dir}/_manifest")
     data = spark.read.parquet(f"{out_dir}/data")
     actual = _manifest_agg(data, id_col, text_col, unit)
