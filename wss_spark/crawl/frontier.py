@@ -171,14 +171,33 @@ def run_crawl(
     config: CrawlConfig | None = None,
     robots: DataFrame | None = None,
     resume: bool = False,
+    continue_seen: bool = False,
     on_wave=None,
 ) -> CrawlResult:
     """``on_wave``: optional callable invoked with each wave's metrics dict
     as it completes — the progress-reporting hook for the job-status surface
     (jobs.JobTracker), the analog of the reference task API's polled
-    ``progress`` field (`WeiboDeepAnalyzer/api_server.py:262-274`)."""
+    ``progress`` field (`WeiboDeepAnalyzer/api_server.py:262-274`).
+
+    ``continue_seen``: start a new crawl GENERATION over the standing state
+    in ``checkpoint_dir`` — the caller's ``seed_urls`` become the next wave's
+    frontier, unioned with whatever the previous generation left pending,
+    while the seen store and bloom carry over (urls visited by ANY earlier
+    generation are never re-admitted; replaying a fully-committed generation
+    admits nothing — idempotent per key). Wave numbering continues
+    monotonically, committed per-wave logs/seen appends are immutable, and
+    ``max_waves`` bounds THIS generation. This is the unit of work of the
+    streaming frontier drain (``streaming.stream_crawl``); contrast
+    ``resume``, which finishes an interrupted crawl from its snapshot
+    frontier and ignores ``seed_urls``."""
     cfg = config or CrawlConfig()
     root = cfg.checkpoint_dir or tempfile.mkdtemp(prefix="wss_crawl_")
+    if resume and continue_seen:
+        raise ValueError(
+            "resume (finish an interrupted crawl from its snapshot frontier) "
+            "and continue_seen (new generation: fresh seeds over the "
+            "standing seen state) are mutually exclusive"
+        )
 
     # robots may arrive as RAW text (host, robots_txt) — the shape a fetch
     # of /robots.txt produces — or as the parsed ROBOTS rules table. Parse
@@ -241,8 +260,8 @@ def run_crawl(
         hb is not None and not hb.filter(F.col("host_period") > 1).isEmpty()
     )
 
-    snap = checkpoint.latest_snapshot(root) if resume else None
-    if not resume and checkpoint.has_state(root):
+    snap = checkpoint.latest_snapshot(root) if (resume or continue_seen) else None
+    if not resume and not continue_seen and checkpoint.has_state(root):
         # fresh crawl into a reused checkpoint_dir: wipe the engine-owned
         # state subdirs. Per-wave dirs would be overwritten anyway, but
         # committed seen SEGMENTS from the old crawl serve reads for their
@@ -250,8 +269,23 @@ def run_crawl(
         # waves — silently wrong seen semantics (old URLs never fetched,
         # new early-wave URLs re-admitted).
         checkpoint.reset_state(root)
+    def _seed_frontier() -> DataFrame:
+        if isinstance(seed_urls, DataFrame):
+            f = seeds_frontier_from_df(seed_urls)
+            if cfg.materialize_seeds:
+                f = f.localCheckpoint(eager=True)
+            return f
+        return seeds_to_frontier(spark, seed_urls)
+
     if snap is not None:
         frontier, bloom_state = checkpoint.read_state(spark, root, snap.wave)
+        if continue_seen:
+            # new generation: the previous generation's leftover frontier
+            # (pending deferred/undiscovered rows in its terminal snapshot —
+            # empty when it terminated naturally) plus the new seeds. Rows
+            # any earlier generation visited are filtered by the carried
+            # bloom + seen store exactly like intra-crawl re-discoveries.
+            frontier = frontier.unionByName(_seed_frontier())
         wave = snap.wave + 1
         # exact seen = union of committed per-wave key appends ≤ the snapshot
         # wave; stale appends from a crashed wave > snap.wave are ignored
@@ -259,12 +293,7 @@ def run_crawl(
         last_seen_wave = snap.wave
         metrics: list[dict] = []
     else:
-        if isinstance(seed_urls, DataFrame):
-            frontier = seeds_frontier_from_df(seed_urls)
-            if cfg.materialize_seeds:
-                frontier = frontier.localCheckpoint(eager=True)
-        else:
-            frontier = seeds_to_frontier(spark, seed_urls)
+        frontier = _seed_frontier()
         bloom_state = bloom.empty_state(spark, cfg.n_buckets)
         wave = 0
         last_seen_wave = -1
@@ -276,7 +305,12 @@ def run_crawl(
 
     fetch_log_parts: list[DataFrame] = []
     last_committed = wave - 1
-    while wave < cfg.max_waves:
+    # max_waves bounds THIS run's waves: absolute for fresh/resume (a resumed
+    # crawl finishes under the same cap as the uninterrupted one), relative
+    # for a continue_seen generation (each generation gets its own allowance
+    # — wave numbers grow without bound across generations by design)
+    max_wave = wave + cfg.max_waves if continue_seen else cfg.max_waves
+    while wave < max_wave:
         t0 = time.time()
         # NO frontier.persist() here: every wave's frontier is already
         # materialized upstream (wave 0: a projection of the caller's pages/

@@ -8,6 +8,7 @@ two places: continuous ingest of newly fetched pages (readStream → extraction
 from wss_spark.streaming.pipeline import (  # noqa: F401
     foreach_batch_dedup_append,
     host_budget_tracker,
+    stream_crawl,
     stream_extract_entities,
     stream_pages,
     windowed_page_counts,

@@ -138,6 +138,81 @@ def host_budget_tracker(pages_stream: DataFrame, budget_per_batch: int = 100,
     )
 
 
+def stream_crawl(spark: SparkSession, pages: DataFrame, seeds_dir: str,
+                 config=None, robots: DataFrame | None = None,
+                 crawl_root: str | None = None,
+                 stream_checkpoint: str | None = None,
+                 max_files_per_batch: int | None = None,
+                 timeout_s: float = 600.0) -> list:
+    """Streaming frontier drain (SURVEY §2.9 T1, streaming form): a
+    file-source stream of seed urls drives the SAME wave loop as the batch
+    ``run_crawl`` via ``foreachBatch`` — each micro-batch of seeds runs one
+    crawl *generation* (``run_crawl(..., continue_seen=True)``) against the
+    standing seen store under ``crawl_root``, so a url visited by any earlier
+    batch is never re-fetched and the visit order within each generation is
+    the same pure-data ordering the batch loop produces. With all seeds in
+    one batch the drain IS the batch crawl: identical visit order and seen
+    set (pinned in test_streaming).
+
+    ``availableNow`` processes every seed file present, then stops; calling
+    ``stream_crawl`` again with the same ``stream_checkpoint`` after new
+    seed files land drains only the new ones (the file-source ledger skips
+    processed files) — the continuous form is the same query with a
+    processing-time trigger left running.
+
+    Exactly-once: the crawl's own per-wave commit markers make a generation
+    internally resumable, and a *committed* generation replayed by the
+    stream ledger admits nothing (every url already in the seen store), so
+    micro-batch replay is idempotent per url. A crash mid-generation resumes
+    at the crawl layer (wave-level), not the stream layer.
+
+    Returns one CrawlResult per non-empty micro-batch, in batch order; each
+    carries the CUMULATIVE fetch_log/entities/seen (all generations so far —
+    the standing crawl state) and this generation's metrics. Uses
+    ``defer_logs=False`` regardless of config (deferred in-memory logs
+    cannot span foreachBatch invocations).
+    """
+    from dataclasses import replace
+    import tempfile
+
+    from wss_spark.crawl.frontier import CrawlConfig, run_crawl
+
+    root = crawl_root or tempfile.mkdtemp(prefix="wss_stream_crawl_")
+    cfg = replace(config or CrawlConfig(), checkpoint_dir=root, defer_logs=False)
+    results: list = []
+
+    def drain(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = run_crawl(
+            spark, pages, batch_df.select("url"), cfg, robots=robots,
+            continue_seen=True,
+        )
+        results.append(res)
+
+    reader = spark.readStream.schema("url string")
+    if max_files_per_batch:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_batch)
+    q = (
+        reader.parquet(seeds_dir)
+        .writeStream.foreachBatch(drain)
+        .option(
+            "checkpointLocation",
+            stream_checkpoint or root.rstrip("/") + "/_seed_stream_ckpt",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"stream_crawl drain did not finish within {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    return results
+
+
 def foreach_batch_dedup_append(target_dir: str, key_col: str = "url",
                                n_buckets: int = 16):
     """Returns a foreachBatch(fn) that appends each micro-batch to
