@@ -132,3 +132,57 @@ def test_health_and_sync_analyze(spark, tracker):
     failed = [r["task_id"] for r in tracker.list(status="failed").collect()]
     assert len(failed) == 1
     assert tracker.result(failed[0])["status"] == "failed"
+
+
+def test_status_table_compaction(spark, tmp_path):
+    """compact() merges per-transition small files into one, preserves every
+    transition (request/result payloads live on different rows), keeps all
+    read answers identical, and is crash-safe: duplicated rows from a crash
+    between merge-append and delete change no answer and are removed by the
+    next compact()."""
+    import glob
+    import os
+    import shutil
+
+    from wss_spark.jobs import JobTracker
+
+    d = str(tmp_path / "status_compact")
+    tracker = JobTracker(spark, d, clock=_clock)
+    t1 = tracker.submit({"wid": "a"}, task_id="t1")
+    tracker.update(t1, "running", 40, "mid")
+    tracker.complete(t1, {"n": 7})
+    t2 = tracker.submit({"wid": "b"}, task_id="t2")
+    tracker.update(t2, "running", 10, "going")
+
+    def snapshot(tr):
+        return (
+            sorted(
+                (r.asDict() for r in tr.status_df().collect()),
+                key=lambda d: d["task_id"],
+            ),
+            tr.result("t1"),
+            tr.status("t2"),
+            tr.health()["active_tasks"],
+        )
+
+    before = snapshot(tracker)
+    n_files = len(glob.glob(d + "/*.parquet"))
+    assert n_files == 5  # one per transition
+
+    assert tracker.compact() == n_files
+    files_after = glob.glob(d + "/*.parquet")
+    assert len(files_after) == 1
+    assert snapshot(tracker) == before
+    # full audit trail survives row-for-row
+    assert spark.read.parquet(d).count() == 5
+
+    # crash window: merged file appended but old files NOT yet deleted ≡
+    # every row duplicated. Answers unchanged; re-compact removes the dupes.
+    dup = files_after[0].replace(".parquet", "-dup.parquet")
+    shutil.copyfile(files_after[0], dup)
+    assert spark.read.parquet(d).count() == 10
+    assert snapshot(tracker) == before
+    assert tracker.compact() == 2
+    assert spark.read.parquet(d).count() == 5
+    assert snapshot(tracker) == before
+    assert os.path.isdir(d)

@@ -111,6 +111,40 @@ class JobTracker:
              None, None, error, self._clock())
         )
 
+    def compact(self) -> int:
+        """Status-table small-file maintenance (VERDICT r04 wrong #2): merge
+        the one-file-per-transition appends into a single file, preserving
+        EVERY transition row (the audit trail — request_json lives only on
+        the submit row, result_json only on the complete row; keep-latest
+        row compaction would drop both).
+
+        Crash-safe without a table format because the read side is
+        keep-last-per-task over content rows: the merged file is APPENDED
+        first and the pre-existing files deleted after, so a crash between
+        the two steps leaves exact-duplicate rows — ties on (seq,
+        updated_at) resolve to identical content, every read answer is
+        unchanged, and the next compact() removes the duplicates (its merge
+        re-reads everything and dropDuplicates collapses them). Returns the
+        number of files merged away; call on whatever cadence keeps the
+        directory listing cheap — same trade as the crawl seen store's
+        segment compaction (crawl/checkpoint.compact_seen_keys).
+        """
+        import glob
+        import os
+
+        old = sorted(glob.glob(os.path.join(self.status_dir, "*.parquet")))
+        if len(old) <= 1:
+            return 0
+        merged = (
+            self.spark.read.schema(STATUS_SCHEMA)
+            .parquet(*old)
+            .dropDuplicates()
+        )
+        merged.coalesce(1).write.mode("append").parquet(self.status_dir)
+        for f in old:
+            os.remove(f)
+        return len(old)
+
     def cancel(self, task_id: str) -> None:
         """DELETE /api/tasks/{id} (`api_server.py:306-327`): refuse on a
         terminal task (the 400 branch); otherwise mark cancelled — the
