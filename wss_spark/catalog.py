@@ -1560,9 +1560,78 @@ def dd_embedding_dedup(spark, sf):
     """End-to-end embedding near-dedup: embeddings in → surviving vec_ids
     out (single-scan SRP blocking → exact cosine on candidates → hash-min
     components → keep min-id rep) — the vector-space twin of dd_near_dedup,
-    one operator call (similarity.dedup_near_embeddings)."""
+    one operator call (similarity.dedup_near_embeddings).
+
+    n_planes/n_tables are NOT pinned: the call exercises the production
+    scale-aware resolution (similarity.srp_scaled_params), which at the
+    sf0.01 gate table (n=500) must come out at exactly the (3, 8) operating
+    point the oracle SQL bakes in — so the auto wiring itself is
+    value-gated (the fixed point stays separately pinned by
+    dd_embedding_pairs_blocked and tests/test_similarity_scaled.py)."""
     return similarity.dedup_near_embeddings(
-        _t(spark, sf, "embeddings"), 0.3, dim=64, n_planes=3, n_tables=8
+        _t(spark, sf, "embeddings"), 0.3, dim=64
+    ).select("vec_id")
+
+
+def _ivf_dedup_sql(centroid_mod: int = 31, n_probe: int = 4,
+                   thr: float = 0.3) -> str:
+    """DuckDB replay of the IVF-blocked (SemDeDup-style) embedding near-dedup
+    path: centroids re-derived from the same ``vec_id % mod`` sample, the
+    top-``n_probe`` cell assignment re-ranked with the same rounded cosine +
+    centroid-id tie-break, candidates from the cell equi-join, exact cosine
+    on candidates only, then an independent recursive-CTE transitive closure
+    with keep min-id — the weak-threshold 100 TB blocking path is value-
+    oracled end to end, like its SRP twin (_emb_dedup_sql)."""
+    cos = ("ROUND(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b}))), 4)")
+    return f"""
+    WITH RECURSIVE
+    vecs AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM vecs
+              WHERE vec_id % {centroid_mod} = 0),
+    scored AS (SELECT vecs.vec_id, cents.cid,
+                      {cos.format(a='vecs.v', b='cents.cv')} AS cs
+               FROM vecs, cents),
+    cells AS (SELECT vec_id, cid AS cell
+              FROM (SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY cs DESC, cid) AS r
+                    FROM scored)
+              WHERE r <= {n_probe}),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM cells a JOIN cells b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    prs AS MATERIALIZED (
+        SELECT id_a, id_b
+        FROM cand JOIN vecs va ON va.vec_id = cand.id_a
+                  JOIN vecs vb ON vb.vec_id = cand.id_b
+        WHERE {cos.format(a='va.v', b='vb.v')} >= {thr}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM prs
+              UNION SELECT id_b, id_a FROM prs),
+    reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+                    UNION
+                    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    clusters AS (SELECT a AS vec_id, MIN(b) AS rep FROM reach GROUP BY a)
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM clusters WHERE vec_id <> rep)
+    """
+
+
+@_q("dd_embedding_dedup_ivf", _ivf_dedup_sql())
+def dd_embedding_dedup_ivf(spark, sf):
+    """End-to-end IVF-blocked embedding near-dedup (the SemDeDup recipe,
+    similarity.dedup_near_embeddings_ivf): coarse-cell candidates from the
+    deterministic mod-sample quantizer with n_probe=4 → exact cosine ≥ 0.3
+    on candidates → components → keep min-id. This is the WEAK-threshold
+    scale path — cell volume stays ~n × centroid_mod at any threshold,
+    where SRP blocking turns ~n^1.74 at cosine 0.3 (srp_scaled_params
+    docstring; head-to-head growth measured in BASELINE.md's sf1 table).
+    Blocking recall vs the exact all-pairs baseline at this operating point
+    is 0.875 (pinned in tests; 0.946 with ivf_train_centroids)."""
+    return similarity.dedup_near_embeddings_ivf(
+        _t(spark, sf, "embeddings"), 0.3, centroid_mod=31, n_probe=4
     ).select("vec_id")
 
 
@@ -1654,9 +1723,14 @@ def dd_text_embedding_dedup(spark, sf):
     cosine ≥ 0.9 on candidates → hash-min components → keep min-id. The
     calibrated operating point recovers exactly the word-3-shingle
     Jaccard ≥ 0.5 ground-truth pairs on this table (precision 1.0,
-    recall 1.0 — see dedup_near_text's docstring)."""
+    recall 1.0 — see dedup_near_text's docstring).
+
+    n_planes/n_tables are NOT pinned: like dd_embedding_dedup, the call
+    exercises the production scale-aware resolution
+    (similarity.srp_scaled_params), which at sf0.01 (n=500 docs) must come
+    out at exactly the (3, 8) point the oracle bakes in."""
     return similarity.dedup_near_text(
-        _t(spark, sf, "documents"), 0.9, dim=32, n=5, n_planes=3, n_tables=8
+        _t(spark, sf, "documents"), 0.9, dim=32, n=5
     ).select("doc_id")
 
 
@@ -3636,6 +3710,13 @@ _DEMOTED = [
     # (same window rank over the same sim column); driver-green r01-r04.
     # Demotion re-run recorded in BASELINE.md.
     "ann_cosine_topk",
+    # demoted r05c to fit dd_embedding_dedup_ivf (the weak-threshold IVF
+    # blocking path caught by the sf1 growth bench): rollup/cube are
+    # Catalyst-native grouping-set expansions of the same aggregates
+    # a1_pricing_summary keeps in-window (no custom operator code), and the
+    # median percentile shape is pinned by pytest; driver-green r01-r04.
+    # Demotion re-run recorded in BASELINE.md.
+    "agg_rollup_cube",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the
@@ -3675,6 +3756,7 @@ WINDOW_CRITICAL = [
     "bpe_token_counts",
     "ts_cjk_tokens",
     "dd_text_embedding_dedup",
+    "dd_embedding_dedup_ivf",
 ]
 DRIVER_WINDOW = 50
 

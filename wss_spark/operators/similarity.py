@@ -442,9 +442,55 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def srp_scaled_params(n: int, threshold: float, target_bucket: int = 200,
+                      base_planes: int = 3, base_tables: int = 8,
+                      max_planes: int = 24, max_tables: int = 64) -> tuple[int, int]:
+    """Scale-aware SRP/LSH operating point for corpus size ``n`` — the fix
+    for the fixed-parameter quadratic cliff the sf1 bench caught (BASELINE.md
+    sf1 table): with ``n_planes`` fixed, bucket occupancy grows like
+    n / 2^planes, so candidate pairs grow QUADRATICALLY once n passes
+    2^planes × target_bucket. Standard LSH theory (Indyk-Motwani; the
+    public random-hyperplane analysis from Charikar 2002):
+
+    - collision probability of a pair at cosine ``threshold`` on ONE plane is
+      ``p1 = 1 - acos(threshold)/pi``;
+    - planes ``b = max(base, ceil(log2(n / target_bucket)))`` pins the
+      EXPECTED bucket size at ~target_bucket, making candidate volume
+      ~ n × target_bucket × L instead of ~ n²/2^b;
+    - tables ``L = ceil(ln(delta) / ln(1 - p1^b))`` holds the pair-miss
+      probability at ``delta = (1 - p1^base_planes)^base_tables`` — the SAME
+      recall contract as the gated (base_planes, base_tables) operating
+      point, so scaling up n never silently trades recall for speed.
+
+    Total candidate work then grows like n^(1 + rho), rho = -log2(p1) (the
+    table count absorbs the per-table recall loss): ~n^1.22 at threshold
+    0.9 — comfortably inside the 2×-linear criterion — but ~n^1.74 at a
+    weak threshold like 0.3, where hyperplane LSH is intrinsically poor
+    (see :func:`dedup_near_embeddings_ivf` for the weak-threshold scale
+    path). Deterministic pure function of (n, threshold) — an oracle engine
+    recomputes it exactly; at the sf0.01 gate tables (n=500) it returns
+    exactly (base_planes, base_tables), so the scaled gates share the fixed
+    gates' oracle SQL (pinned by tests/test_similarity_scaled.py)."""
+    import math
+
+    if target_bucket <= 0 or base_planes <= 0 or base_tables <= 0:
+        raise ValueError("srp_scaled_params: positive parameters required")
+    p1 = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    b = base_planes
+    if n > target_bucket:
+        b = max(base_planes, math.ceil(math.log2(n / target_bucket)))
+    b = min(b, max_planes)
+    if b == base_planes or p1 >= 1.0 or p1 <= 0.0:
+        return b, base_tables
+    delta = (1.0 - p1 ** base_planes) ** base_tables
+    pb = p1 ** b
+    tables = math.ceil(math.log(delta) / math.log(1.0 - pb))
+    return b, max(1, min(max_tables, tables))
+
+
 def dedup_near_embeddings(emb: DataFrame, threshold: float = 0.9,
-                          dim: int | None = None, n_planes: int = 3,
-                          n_tables: int = 8, id_col: str = "vec_id",
+                          dim: int | None = None, n_planes: int | None = None,
+                          n_tables: int | None = None, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           max_iter: int = 25) -> DataFrame:
     """End-to-end embedding near-dedup: embeddings in → surviving rows out —
@@ -457,9 +503,21 @@ def dedup_near_embeddings(emb: DataFrame, threshold: float = 0.9,
     all-pairs), exact cosine runs only on candidate pairs, and cluster
     resolution is the same O(log diameter) hash-min label propagation the
     text pipeline uses. ``dim`` defaults to the embedding width probed from
-    the first row (pass it explicitly in production plans)."""
+    the first row (pass it explicitly in production plans).
+
+    ``n_planes``/``n_tables`` default to the scale-aware operating point
+    (:func:`srp_scaled_params` over one metadata-cheap ``count()`` of the
+    input — parquet answers it from footers): expected bucket size stays
+    ~constant as n grows, so candidate volume stays ~linear instead of
+    quadratic, at the SAME pair-recall contract as the (3, 8) base point.
+    Pass both explicitly to pin a fixed operating point (the sf0.01 value
+    gates do)."""
     from wss_spark.operators.dedup import dedup_by_clusters, dup_clusters
 
+    if n_planes is None or n_tables is None:
+        auto_b, auto_t = srp_scaled_params(emb.count(), threshold)
+        n_planes = auto_b if n_planes is None else n_planes
+        n_tables = auto_t if n_tables is None else n_tables
     if dim is None:
         # probe only non-null embeddings: size(NULL) is -1/NULL and would
         # silently degenerate the SRP plane generation
@@ -580,7 +638,8 @@ def embed_text(docs: DataFrame, dim: int = 16, n: int = 3,
 
 
 def dedup_near_text(docs: DataFrame, threshold: float = 0.9, dim: int = 32,
-                    n: int = 5, n_planes: int = 3, n_tables: int = 8,
+                    n: int = 5, n_planes: int | None = None,
+                    n_tables: int | None = None,
                     id_col: str = "doc_id", text_col: str = "text",
                     max_iter: int = 25) -> DataFrame:
     """TEXT-in embedding near-dedup: documents → surviving rows, the full
@@ -595,9 +654,17 @@ def dedup_near_text(docs: DataFrame, threshold: float = 0.9, dim: int = 32,
     dim=32/n=5/threshold=0.9 recovers exactly the 25 true near-dup pairs
     (precision 1.0, recall 1.0); 0.85 admits 6 extra merges (prec 0.81),
     dim=16 or char-3-grams collapse precision entirely — recorded so the
-    sensitivity is known, not re-derived."""
+    sensitivity is known, not re-derived.
+
+    ``n_planes``/``n_tables`` default to the scale-aware operating point
+    (:func:`srp_scaled_params`; same recall contract as the fixed (3, 8)
+    base, ~linear candidate volume — see :func:`dedup_near_embeddings`)."""
     from wss_spark.operators.dedup import dedup_by_clusters, dup_clusters
 
+    if n_planes is None or n_tables is None:
+        auto_b, auto_t = srp_scaled_params(docs.count(), threshold)
+        n_planes = auto_b if n_planes is None else n_planes
+        n_tables = auto_t if n_tables is None else n_tables
     emb = embed_text(docs, dim=dim, n=n, id_col=id_col, text_col=text_col)
     cands = srp_candidates(emb, dim=dim, n_planes=n_planes,
                            n_tables=n_tables, id_col=id_col,
@@ -606,3 +673,94 @@ def dedup_near_text(docs: DataFrame, threshold: float = 0.9, dim: int = 32,
                                  id_col=id_col, vec_col="embedding")
     clusters = dup_clusters(pairs, id_a="id_a", id_b="id_b", max_iter=max_iter)
     return dedup_by_clusters(docs, clusters, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (coarse-quantizer) blocking — the SemDeDup recipe (Abbas et al. 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication", arXiv:2303.09540): cluster the embeddings with a coarse
+# quantizer, then compare pairs ONLY within a cluster. This is the scale path
+# for WEAK similarity thresholds, where hyperplane LSH degrades toward
+# quadratic: SRP candidate volume grows like n^(1 + rho) with
+# rho = -log2(1 - acos(t)/pi) — ~n^1.22 at t=0.9 but ~n^1.74 at t=0.3
+# (see srp_scaled_params). IVF blocking keeps the expected cell size pinned
+# at ~centroid_mod rows regardless of n (the mod-sample centroid count grows
+# WITH the corpus), so candidate volume is ~n × centroid_mod × n_probe —
+# linear at any threshold; the threshold costs recall only, never volume.
+# ---------------------------------------------------------------------------
+
+def ivf_candidates(emb: DataFrame, centroid_mod: int = 31, n_probe: int = 2,
+                   centroids: DataFrame | None = None, id_col: str = "vec_id",
+                   vec_col: str = "embedding", round_dp: int = 4) -> DataFrame:
+    """Candidate (id_a < id_b) pairs sharing a probed IVF cell — the
+    coarse-quantizer blocking front-end for :func:`embedding_near_pairs`
+    (the candidate twin of :func:`srp_candidates`, cell-equi-join instead of
+    bucket-equi-join; no all-pairs anywhere).
+
+    Each vector is assigned to its ``n_probe`` nearest centroids (rounded
+    cosine, centroid-id tie-break — :func:`ivf_assign`'s deterministic rank
+    path), so a near-dup pair split across one cell boundary still collides
+    in a shared second-choice cell (n_probe≥2 is the standard boundary-miss
+    mitigation; recall vs the exact baseline is pinned in tests).
+
+    Centroids default to the deterministic coarse sample
+    ``id % centroid_mod == 0`` (same replayable rule as :func:`ivf_topk`),
+    so the centroid count grows with the corpus and the expected cell size
+    stays ~``centroid_mod`` at ANY n. At production scale pass trained
+    centroids (:func:`ivf_train_centroids`); the plan is unchanged.
+
+    Plan: broadcast centroid dim × corpus (one scan, no corpus shuffle) →
+    rank window over n_centroids scored rows per vector → narrow
+    (id, cell) frame persisted once → self-equi-join on cell. AQE handles
+    hot-cell skew. Assignment compute is n × n/centroid_mod dot products —
+    fine to ~10^6-row blocks; beyond that a hierarchical quantizer (tree of
+    this same assignment) bounds it, with this plan unchanged per level."""
+    from wss_spark.operators.dedup import _persist_for_self_join
+
+    v = emb.select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+    if centroids is None:
+        centroids = emb.filter((F.col(id_col) % centroid_mod) == 0)
+    cents = centroids.select(
+        F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    if cents.isEmpty():
+        raise ValueError(
+            f"ivf_candidates: empty centroid table ({id_col} % {centroid_mod}"
+            " == 0 matched nothing, or an empty centroids frame was passed)"
+        )
+    cells = _persist_for_self_join(
+        ivf_assign(v, cents, "_bid", n_probe=n_probe, round_dp=round_dp)
+    )
+    a = cells.select(F.col("_bid").alias("id_a"), "cell")
+    b = cells.select(F.col("_bid").alias("id_b"), "cell")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def dedup_near_embeddings_ivf(emb: DataFrame, threshold: float = 0.9,
+                              centroid_mod: int = 31, n_probe: int = 2,
+                              centroids: DataFrame | None = None,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              max_iter: int = 25) -> DataFrame:
+    """End-to-end IVF-blocked embedding near-dedup (the SemDeDup pipeline):
+    coarse-cell candidates → exact cosine ≥ threshold on candidates →
+    connected components → keep the min-id representative. Same contract as
+    :func:`dedup_near_embeddings` (keep-first semantics mirroring
+    `独立版/(using)WeiboUserScrapy.py:447-456`), different blocking: use this
+    one when the threshold is weak (≲0.8), where SRP blocking's candidate
+    volume turns superlinear but cell volume stays ~n × centroid_mod
+    (docstring of :func:`ivf_candidates`; measured head-to-head in
+    BASELINE.md's sf1 table)."""
+    from wss_spark.operators.dedup import dedup_by_clusters, dup_clusters
+
+    cands = ivf_candidates(emb, centroid_mod=centroid_mod, n_probe=n_probe,
+                           centroids=centroids, id_col=id_col, vec_col=vec_col)
+    pairs = embedding_near_pairs(emb, threshold, candidates=cands,
+                                 id_col=id_col, vec_col=vec_col)
+    clusters = dup_clusters(pairs, id_a="id_a", id_b="id_b", max_iter=max_iter)
+    return dedup_by_clusters(emb, clusters, id_col=id_col)
