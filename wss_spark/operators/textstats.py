@@ -132,8 +132,12 @@ def token_count(t: Column, unit: str = "mixed") -> Column:
       each CJK char is its own token, latin words split on whitespace.
       Equal to ``ws`` on CJK-free text; non-degenerate on Chinese.
     - ``ws``: plain whitespace tokens (:func:`ws_token_count`).
-    - ``char``: every non-whitespace code point (the BigramLM char unit,
-      corpus._token_seq)."""
+    - ``char``: every non-whitespace UTF-16 code unit (JVM ``length``
+      semantics — a supplementary-plane character, e.g. an emoji, counts
+      as 2; BMP-only CJK counts 1 per character). Not oracle-mirrored
+      (DuckDB ``length`` counts code points — they diverge on astral-plane
+      text); the gated unit is ``mixed``, whose split-based count agrees
+      cross-engine on any input."""
     if unit == "mixed":
         return F.size(
             F.filter(F.split(cjk_spaced(t), ASCII_WS + "+"),
