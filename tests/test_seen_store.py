@@ -215,3 +215,76 @@ def test_zone_pruning_ignores_loose_waves_and_legacy_markers(spark, tmp_path):
         spark, root, 3, buckets=list(range(8)), probe_ranges=away))
     full = _collect(checkpoint.read_seen_keys(spark, root, 3))
     assert got == full  # nothing prunable → identical to the full read
+
+
+def test_evict_seen_keys_copy_on_write(spark, tmp_path):
+    """Eviction rewrites the committed store minus the evict set; appends
+    AFTER the eviction point re-seen the key normally."""
+    root = str(tmp_path / "ck")
+    all_keys = []
+    for w in range(4):
+        df = _keys(spark, w)
+        checkpoint.write_seen_keys(root, w, df)
+        all_keys += _collect(df)
+    checkpoint.compact_seen_keys(spark, root, 0, 1)
+
+    evict = _keys(spark, 1, n=5)  # 5 keys of wave 1
+    assert checkpoint.evict_seen_keys(spark, root, evict, 3)
+    got = _collect(checkpoint.read_seen_keys(spark, root, 3))
+    want = sorted(set(all_keys) - set(_collect(evict)))
+    assert got == want
+    # the full-range revision is the served state; its zones are fresh
+    assert checkpoint.last_compacted_wave(root) == 3
+
+    # re-append one evicted key at a later wave: it is seen again
+    back = evict.limit(1)
+    checkpoint.write_seen_keys(root, 4, back)
+    got2 = _collect(checkpoint.read_seen_keys(spark, root, 4))
+    assert got2 == sorted(want + _collect(back))
+
+    # a second eviction (same range) lands as the next revision and wins
+    assert checkpoint.evict_seen_keys(spark, root, _keys(spark, 2, n=3), 3)
+    got3 = _collect(checkpoint.read_seen_keys(spark, root, 3))
+    assert got3 == sorted(set(want) - set(_collect(_keys(spark, 2, n=3))))
+
+
+def test_evict_historical_reads_and_crash_revision(spark, tmp_path):
+    """Reads below the eviction watermark still serve the pre-eviction
+    (historical) keys; an uncommitted eviction revision is invisible."""
+    import shutil
+
+    root = str(tmp_path / "ck")
+    for w in range(3):
+        checkpoint.write_seen_keys(root, w, _keys(spark, w))
+    pre = _collect(checkpoint.read_seen_keys(spark, root, 1))
+    assert checkpoint.evict_seen_keys(spark, root, _keys(spark, 0, n=4), 2)
+    # watermark below the eviction point: historical state intact
+    assert _collect(checkpoint.read_seen_keys(spark, root, 1)) == pre
+
+    post = _collect(checkpoint.read_seen_keys(spark, root, 2))
+    # simulate a crashed second eviction: revision dir without its marker
+    crashed = os.path.join(root, "seen_segments", "seg=00000-00002.r1")
+    committed = os.path.join(root, "seen_segments", "seg=00000-00002")
+    shutil.copytree(committed, crashed)
+    os.remove(os.path.join(crashed, "_SEG_COMMIT.json"))
+    assert _collect(checkpoint.read_seen_keys(spark, root, 2)) == post
+
+
+def test_swap_filter_state_atomic_pointer(spark, tmp_path):
+    """swap_filter_state writes the new state to the non-live dir and flips
+    the manifest pointer; read_state follows the pointer."""
+    root = str(tmp_path / "ck")
+    f0 = spark.createDataFrame([(1,)], "x int")
+    s0 = spark.createDataFrame([(0, b"a", 1)], "bucket int, bitmap binary, count long")
+    snap = checkpoint.write_snapshot(root, 0, f0, s0, {})
+    s1 = spark.createDataFrame([(0, b"b", 2)], "bucket int, bitmap binary, count long")
+    snap2 = checkpoint.swap_filter_state(root, snap, s1)
+    assert snap2.manifest["filter_dir"] == "bloom_v2"
+    _fr, st = checkpoint.read_state(spark, root, 0)
+    assert st.collect()[0]["count"] == 2
+    # a second swap alternates back, overwriting the now-dead original dir
+    s2 = spark.createDataFrame([(0, b"c", 3)], "bucket int, bitmap binary, count long")
+    snap3 = checkpoint.swap_filter_state(root, snap2, s2)
+    assert snap3.manifest["filter_dir"] == "bloom"
+    _fr, st = checkpoint.read_state(spark, root, 0)
+    assert st.collect()[0]["count"] == 3

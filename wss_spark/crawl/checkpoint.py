@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from dataclasses import dataclass
 
@@ -95,10 +96,38 @@ def latest_snapshot(root: str) -> Snapshot | None:
 
 def read_state(spark: SparkSession, root: str, wave: int):
     d = _wave_dir(root, wave)
+    # the live filter-state dir is named by the commit manifest
+    # ("filter_dir", default the historical "bloom" — it holds whichever
+    # seen-filter variant's state the crawl ran with). swap_filter_state
+    # flips the pointer atomically via the marker rewrite.
+    fdir = "bloom"
+    mf = os.path.join(d, "_COMMIT.json")
+    if os.path.exists(mf):
+        with open(mf) as f:
+            fdir = json.load(f).get("filter_dir", "bloom")
     return (
         spark.read.parquet(os.path.join(d, "frontier")),
-        spark.read.parquet(os.path.join(d, "bloom")),
+        spark.read.parquet(os.path.join(d, fdir)),
     )
+
+
+def swap_filter_state(root: str, snap: Snapshot, state: DataFrame) -> Snapshot:
+    """Atomically replace a committed snapshot's seen-filter state (the
+    eviction path: cuckoo.delete produces a new state that must become the
+    one a resume/continue_seen generation loads).
+
+    Crash-safe without touching the live data: the new state is written to
+    the NON-live of two alternating dirs, then the commit marker — an
+    atomic tmp+rename — flips ``filter_dir`` to it. A crash mid-write
+    leaves the marker pointing at the intact old state."""
+    d = _wave_dir(root, snap.wave)
+    cur = snap.manifest.get("filter_dir", "bloom")
+    nxt = "bloom_v2" if cur == "bloom" else "bloom"
+    state.write.mode("overwrite").parquet(os.path.join(d, nxt))
+    manifest = {**snap.manifest, "filter_dir": nxt,
+                "filter_swapped_at": time.time()}
+    atomic_json_marker(os.path.join(d, "_COMMIT.json"), manifest)
+    return Snapshot(snap.wave, manifest)
 
 
 # ---------------------------------------------------------------------------
@@ -198,21 +227,99 @@ def write_seen_keys(root: str, wave: int, newly_seen: DataFrame,
         )
 
 
+_SEG_NAME = re.compile(r"seg=(\d+)-(\d+)(?:\.r(\d+))?$")
+
+
 def _committed_segments(root: str) -> list[tuple[int, int, str]]:
-    """[(lo_wave, hi_wave, path)] of committed seen-key segments, ascending.
-    A segment exists iff its ``_SEG_COMMIT.json`` does (written last)."""
+    """[(lo_wave, hi_wave, path)] of committed seen-key segments. A segment
+    exists iff its ``_SEG_COMMIT.json`` does (written last).
+
+    Order encodes reader PREFERENCE for the greedy coverage walk in
+    read_seen_keys: ascending ``lo``, then WIDEST range first, then highest
+    revision first — so a committed eviction rewrite (which covers the full
+    prior range under a ``.rK`` suffix) shadows both the narrow cadence
+    segments and any earlier revision of itself, Iceberg-snapshot-style.
+    Shadowed segments stay on disk (crash before the new marker lands must
+    leave the old state fully served) and are dropped opportunistically by
+    the next full rewrite's garbage sweep."""
     sr = _seg_root(root)
     if not os.path.isdir(sr):
         return []
-    out = []
-    for e in sorted(os.listdir(sr)):
-        if not e.startswith("seg="):
+    cands = []
+    for e in os.listdir(sr):
+        m = _SEG_NAME.match(e)
+        if m is None:
             continue
         if not os.path.exists(os.path.join(sr, e, "_SEG_COMMIT.json")):
-            continue  # crashed compaction: ignored, wave dirs still serve
-        lo, hi = e[len("seg="):].split("-")
-        out.append((int(lo), int(hi), os.path.join(sr, e)))
-    return out
+            continue  # crashed compaction/eviction: ignored
+        lo, hi, rev = int(m.group(1)), int(m.group(2)), int(m.group(3) or 0)
+        cands.append((lo, -hi, -rev, os.path.join(sr, e)))
+    return [(lo, -nhi, p) for lo, nhi, _nrev, p in sorted(cands)]
+
+
+def evict_seen_keys(spark: SparkSession, root: str, evict: DataFrame,
+                    up_to_wave: int) -> bool:
+    """Remove keys from the exact seen store — the copy-on-write DELETE the
+    append-only store otherwise lacks, making a refresh pass ("force these
+    URLs back into crawlability") a store-level operation.
+
+    ``evict`` carries (bucket, url_hash, canon_url). The whole committed
+    store ≤ ``up_to_wave`` is re-read, anti-joined against the evict set,
+    and rewritten as ONE full-range segment at the next revision number;
+    the commit marker (written last, with fresh zone maps) atomically makes
+    it the served state. Waves APPENDED AFTER ``up_to_wave`` are untouched,
+    so a later re-crawl of an evicted url re-seens it normally.
+
+    Cost is O(total seen ≤ up_to_wave) — the Iceberg copy-on-write delete
+    trade, right for occasional refresh campaigns; per-wave appends stay
+    O(wave). Crash at any point leaves the previous state fully served
+    (uncommitted revision dirs are ignored). Returns False when the store
+    is empty.
+
+    Shadowed state (narrow segments and loose wave dirs ≤ ``up_to_wave``)
+    is deliberately left on disk: reads at watermarks BELOW the eviction
+    point still serve the historical (pre-eviction) key set from it, and a
+    crash before this revision's marker lands must leave the previous
+    state intact. Reclaiming it is a separate maintenance decision (the
+    Iceberg expire_snapshots analog), not part of the eviction commit."""
+    existing = read_seen_keys(spark, root, up_to_wave)
+    if existing is None:
+        return False
+    kept = existing.join(
+        evict.select("bucket", "url_hash", "canon_url"),
+        ["bucket", "url_hash", "canon_url"],
+        "left_anti",
+    )
+    sr = _seg_root(root)
+    rev = 0
+    if os.path.isdir(sr):
+        for e in os.listdir(sr):
+            m = _SEG_NAME.match(e)
+            if m and int(m.group(1)) == 0 and int(m.group(2)) == up_to_wave:
+                rev = max(rev, int(m.group(3) or 0) + 1)
+    name = f"seg={0:05d}-{up_to_wave:05d}" + (f".r{rev}" if rev else "")
+    seg_dir = os.path.join(sr, name)
+    (
+        kept.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(seg_dir)
+    )
+    written = (
+        spark.read.option("basePath", sr)
+        .schema(_SEEN_FILE_SCHEMA + ", seg string, bucket int")
+        .parquet(seg_dir)
+        .groupBy("bucket")
+        .agg(F.min("url_hash").alias("lo"), F.max("url_hash").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    zones = {str(r["bucket"]): [r["lo"], r["hi"], r["n"]] for r in written}
+    atomic_json_marker(os.path.join(seg_dir, "_SEG_COMMIT.json"),
+                       {"lo": 0, "hi": up_to_wave, "rev": rev,
+                        "evicted": True, "zones": zones,
+                        "committed_at": time.time()})
+    return True
 
 
 def _seen_wave_dirs(root: str, up_to_wave: int,

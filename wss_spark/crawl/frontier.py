@@ -33,7 +33,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from wss_spark.crawl import bloom, checkpoint
+from wss_spark.crawl import bloom, checkpoint, cuckoo
 from wss_spark.crawl.discover import discover, seeds_frontier_from_df, seeds_to_frontier
 from wss_spark.crawl.politeness import (
     ORDER_COLS,
@@ -66,6 +66,17 @@ class CrawlConfig:
     n_buckets: int = 64              # bloom/seen partitions (prod: 16384)
     m_bits: int = 1 << 20            # bloom bits per bucket (prod: 1<<23)
     bloom_k: int = 6
+    # seen-prefilter variant (north rule: "bloom/cuckoo URL-seen filter"):
+    # "bloom" = OR-only bitmaps (default), "cuckoo" = fingerprint tables
+    # (crawl/cuckoo.py — deletable, enabling filter-level seen eviction for
+    # refresh passes). Both are prefilters in front of the SAME exact
+    # anti-join, so crawl order and the seen set are identical under either
+    # (pinned by tests/test_crawl.py). A resume must use the variant the
+    # snapshot was written with — the state schemas differ.
+    seen_filter: str = "bloom"
+    cuckoo_slots: int = 1 << 14      # cuckoo rows per bucket (prod: 1<<18)
+    cuckoo_slot_width: int = 4
+    cuckoo_max_kicks: int = 500
     n_salts: int = 16                # two-phase rank salt slices
     salt: int = DEFAULT_SALT
     now: datetime = ANCHOR
@@ -192,6 +203,36 @@ def run_crawl(
     frontier and ignores ``seed_urls``."""
     cfg = config or CrawlConfig()
     root = cfg.checkpoint_dir or tempfile.mkdtemp(prefix="wss_crawl_")
+
+    # seen-prefilter strategy (CrawlConfig.seen_filter). Both variants share
+    # the (state, new_urls) → state / (cand, state) → +maybe_seen contract;
+    # everything downstream of these three closures is filter-agnostic.
+    if cfg.seen_filter == "cuckoo":
+        def _filter_empty():
+            return cuckoo.empty_state(spark, cfg.n_buckets)
+
+        def _filter_update(st, new):
+            return cuckoo.update(
+                st, new, cfg.cuckoo_slots, cfg.cuckoo_slot_width,
+                cfg.cuckoo_max_kicks,
+            )
+
+        def _filter_prefilter(cand, st):
+            return cuckoo.prefilter(cand, st, cfg.cuckoo_slots,
+                                    cfg.cuckoo_slot_width)
+    elif cfg.seen_filter == "bloom":
+        def _filter_empty():
+            return bloom.empty_state(spark, cfg.n_buckets)
+
+        def _filter_update(st, new):
+            return bloom.update(st, new, cfg.m_bits, cfg.bloom_k)
+
+        def _filter_prefilter(cand, st):
+            return bloom.prefilter(cand, st, cfg.m_bits, cfg.bloom_k)
+    else:
+        raise ValueError(f"unknown seen_filter {cfg.seen_filter!r} "
+                         "(expected 'bloom' or 'cuckoo')")
+
     if resume and continue_seen:
         raise ValueError(
             "resume (finish an interrupted crawl from its snapshot frontier) "
@@ -279,6 +320,16 @@ def run_crawl(
 
     if snap is not None:
         frontier, bloom_state = checkpoint.read_state(spark, root, snap.wave)
+        # the state schemas differ (bitmap vs table+stash): a resume under
+        # the wrong seen_filter must fail loudly, not probe garbage bytes
+        want = "table" if cfg.seen_filter == "cuckoo" else "bitmap"
+        if want not in bloom_state.columns:
+            raise ValueError(
+                f"snapshot at wave {snap.wave} holds "
+                f"{'bloom' if 'bitmap' in bloom_state.columns else 'cuckoo'} "
+                f"state but seen_filter={cfg.seen_filter!r}; resume with the "
+                "filter the snapshot was written with"
+            )
         if continue_seen:
             # new generation: the previous generation's leftover frontier
             # (pending deferred/undiscovered rows in its terminal snapshot —
@@ -294,7 +345,7 @@ def run_crawl(
         metrics: list[dict] = []
     else:
         frontier = _seed_frontier()
-        bloom_state = bloom.empty_state(spark, cfg.n_buckets)
+        bloom_state = _filter_empty()
         wave = 0
         last_seen_wave = -1
         metrics = []
@@ -379,9 +430,7 @@ def run_crawl(
                 _mark("p_dedup_bloom", _since)  # lazy: cost lands in admit
                 _mark("p_seen_anti", _since)
         else:
-            flagged = bloom.prefilter(
-                cand, bloom_state, cfg.m_bits, cfg.bloom_k
-            ).persist()
+            flagged = _filter_prefilter(cand, bloom_state).persist()
             if cfg.profile_phases:
                 flagged.count()  # force: dedup + hash cols + probe + cache
                 _mark("p_dedup_bloom", _since)
@@ -538,7 +587,7 @@ def run_crawl(
         last_seen_wave = wave
         if cfg.profile_phases:
             _mark("p_seen_write", _since)
-        bloom_next = bloom.update(bloom_state, newly_seen, cfg.m_bits, cfg.bloom_k)
+        bloom_next = _filter_update(bloom_state, newly_seen)
         if n_admitted + n_blocked > 0:
             bloom_is_empty = False
 

@@ -54,3 +54,64 @@ def recrawl_seeds(diff: DataFrame, key_col: str = "url") -> DataFrame:
     changed (removed urls have nothing to fetch). Feed to run_crawl as the
     seed frame."""
     return diff.filter(F.col("change").isin("new", "changed")).select(key_col)
+
+
+def evict_urls(spark, checkpoint_dir: str, urls, config=None) -> int:
+    """Force URLs back into crawlability in a standing checkpoint: remove
+    them from the exact seen store (copy-on-write segment rewrite,
+    checkpoint.evict_seen_keys) and — under ``seen_filter="cuckoo"`` — from
+    the snapshot's prefilter state (cuckoo.delete + an atomic filter-state
+    swap). The next ``continue_seen`` generation seeded with these urls
+    re-fetches them; everything else stays seen.
+
+    Under the bloom filter the prefilter bits cannot be cleared; the
+    evicted urls simply take the maybe-seen path and the (rewritten) exact
+    anti-join re-admits them — correct either way, the cuckoo variant just
+    keeps the prefilter tight. This is the scale analog of deleting rows
+    from the reference's per-spider CSV so its resume scan re-fetches them
+    (`独立版/(using)WeiboUserScrapy.py:447-456`).
+
+    ``urls``: list of url strings or a DataFrame with a ``url`` column.
+    Returns the number of seen entries actually removed."""
+    from pyspark.sql import DataFrame as _DF
+
+    from wss_spark.crawl import bloom, checkpoint, cuckoo
+    from wss_spark.crawl.frontier import CrawlConfig
+    from wss_spark.functions.urls import canonicalize_url
+
+    cfg = config or CrawlConfig()
+    snap = checkpoint.latest_snapshot(checkpoint_dir)
+    if snap is None:
+        raise ValueError(
+            f"no committed crawl snapshot under {checkpoint_dir!r} to evict "
+            "from (eviction operates on standing seen state)"
+        )
+    if isinstance(urls, _DF):
+        udf_ = urls.select("url")
+    else:
+        udf_ = spark.createDataFrame([(u,) for u in urls], "url string")
+    evict = bloom.with_hash_cols(
+        udf_.select(canonicalize_url(F.col("url")).alias("canon_url")),
+        "canon_url", cfg.n_buckets, cfg.salt,
+    ).dropDuplicates(["canon_url"]).localCheckpoint(eager=True)
+
+    seen = checkpoint.read_seen_keys(spark, checkpoint_dir, snap.wave)
+    if seen is None:
+        return 0
+    # restrict to keys actually present: the cuckoo delete contract covers
+    # only inserted keys (deleting an absent key could drop a colliding
+    # member's copy), and every seen key was inserted into the filter
+    matched = evict.select("bucket", "url_hash", "canon_url").join(
+        seen, ["bucket", "url_hash", "canon_url"], "left_semi"
+    ).localCheckpoint(eager=True)
+    n_hit = matched.count()
+    if not n_hit:
+        return 0
+    checkpoint.evict_seen_keys(spark, checkpoint_dir, matched, snap.wave)
+    if cfg.seen_filter == "cuckoo":
+        _frontier, state = checkpoint.read_state(spark, checkpoint_dir, snap.wave)
+        new_state = cuckoo.delete(
+            state, matched, cfg.cuckoo_slots, cfg.cuckoo_slot_width
+        )
+        checkpoint.swap_filter_state(checkpoint_dir, snap, new_state)
+    return n_hit

@@ -70,6 +70,17 @@ BLOOM_STATE = StructType(
     ]
 )
 
+# cuckoo-filter variant of the seen prefilter (crawl/cuckoo.py): per-bucket
+# fingerprint table + overflow stash; deletable, unlike the bloom bitmap
+CUCKOO_STATE = StructType(
+    [
+        StructField("bucket", IntegerType(), False),
+        StructField("table", BinaryType(), False),
+        StructField("stash", BinaryType(), False),
+        StructField("count", LongType(), False),
+    ]
+)
+
 ROBOTS = StructType(
     [
         StructField("host", StringType(), False),
