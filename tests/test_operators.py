@@ -1084,3 +1084,51 @@ def test_length_quantiles_exact(spark):
     assert got["a"]["q_50"] == 25.0
     assert abs(got["a"]["q_90"] - 37.0) < 1e-9   # rank 2.7 -> 30 + 0.7*10
     assert got["b"]["q_50"] == 100.0 and got["b"]["q_90"] == 100.0
+
+
+def test_dedup_substrings_keep_first(spark):
+    """Duplicate-span removal: first occurrence retained untouched, later
+    occurrences masked; novel tokens survive; short/null docs pass whole;
+    overlapping duplicate windows merge into one maximal removed span."""
+    docs = spark.createDataFrame(
+        [
+            ("a", "one two three four five six seven eight nine ten"),
+            ("b", "X one two three four five six seven eight nine ten Y"),
+            ("c", "totally different words with no overlap at all here"),
+            ("d", "one two three four five six seven eight nine ten"),
+            ("e", "short text"),
+            ("f", None),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.dedup_substrings(docs, n=8).collect()}
+    assert got["a"]["clean_text"] == "one two three four five six seven eight nine ten"
+    assert got["a"]["n_removed"] == 0
+    # b's embedded copy masks entirely (windows overlap → union of spans)
+    assert got["b"]["clean_text"] == "X Y"
+    assert got["b"]["n_removed"] == 10
+    assert got["c"]["n_removed"] == 0
+    # exact duplicate of a: collapses to nothing, a survives
+    assert got["d"]["clean_text"] == "" and got["d"]["n_removed"] == 10
+    assert got["e"]["clean_text"] == "short text"  # < n tokens: untouched
+    assert got["f"]["clean_text"] == "" and got["f"]["n_tokens"] == 0
+
+
+def test_dedup_substrings_cjk_and_invariance(spark):
+    """CJK text dedups per character run (canonical mixed pretokens), and
+    the result is partition-invariant."""
+    dup_cn = "深度学习模型训练需要大量高质量数据支持"
+    docs = spark.createDataFrame(
+        [("a", dup_cn + "第一份"), ("b", "前言" + dup_cn), ("c", "完全不同的内容和主题词汇语料样本测试")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.dedup_substrings(docs, n=8).collect()}
+    assert got["a"]["n_removed"] == 0
+    # b's copy of the shared run is removed; its novel prefix survives
+    assert got["b"]["n_removed"] >= len(dup_cn) - 1
+    assert got["b"]["clean_text"].startswith("前 言")
+    assert got["c"]["n_removed"] == 0
+
+    a = sorted(map(tuple, dedup.dedup_substrings(docs.repartition(1), n=8).collect()))
+    b = sorted(map(tuple, dedup.dedup_substrings(docs.repartition(5), n=8).collect()))
+    assert a == b

@@ -3597,6 +3597,60 @@ def llm_release_manifest(spark, sf):
     return corpus_ops.release_shards(docs, n_shards=_RELEASE_SHARDS)[1]
 
 
+# Substring-level exact dedup (duplicate-span removal): the fixed-window
+# distributed form of Lee et al. 2022's suffix-array duplicate-substring
+# removal — boilerplate/quotation spans that cross line boundaries, which
+# llm_line_dedup misses. Full DuckDB replay: same canonical mixed-unit
+# pretokens, same md5 gram keys, keep-first by (doc_id, pos).
+_SSD_N = 8
+
+
+def _ssd_sql() -> str:
+    spaced = _cjk_spaced_sql("coalesce(text, '')")
+    toks = (
+        "list_filter(string_split_regex("
+        f"{spaced}, '{_WS}+'), x -> x <> '')"
+    )
+    return rf"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, {toks} AS toks FROM documents
+), occ AS (
+  SELECT id, g.i - 1 AS pos,
+         md5(array_to_string(toks[g.i : g.i + {_SSD_N - 1}], ' ')) AS h
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(toks) - {_SSD_N} + 1)) AS i) g
+  WHERE len(toks) >= {_SSD_N}
+), o2 AS (
+  SELECT id, pos, h,
+         row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn
+  FROM occ
+), rem AS (
+  SELECT id AS rid, list_sort(list(DISTINCT tp)) AS removed
+  FROM (SELECT id, unnest(generate_series(pos, pos + {_SSD_N - 1})) AS tp
+        FROM o2 WHERE rn > 1)
+  GROUP BY id
+)
+SELECT d.id AS doc_id,
+  coalesce(array_to_string(CASE WHEN removed IS NULL THEN toks
+                       ELSE list_filter(toks, (x, i) -> NOT list_contains(removed, i - 1))
+                  END, ' '), '') AS clean_text,
+  CAST(len(toks) AS INT) AS n_tokens,
+  CAST(coalesce(len(removed), 0) AS INT) AS n_removed
+FROM d LEFT JOIN rem ON d.id = rem.rid
+"""
+
+
+@_q("dd_substring_dedup", _ssd_sql())
+def dd_substring_dedup(spark, sf):
+    """Duplicate-span removal over the documents table: every n-token
+    window that repeats corpus-wide is removed at all but its first
+    occurrence (dedup.dedup_substrings) — exact duplicates collapse to
+    nothing while their first copy survives untouched."""
+    from wss_spark.operators import dedup as dedup_ops
+
+    docs = _t(spark, sf, "documents")
+    return dedup_ops.dedup_substrings(docs, n=_SSD_N)
+
+
 # Cuckoo-filter seen store (crawl/cuckoo.py — the north rule's deletable
 # "bloom/cuckoo" alternative): full lifecycle insert → delete → probe over a
 # deterministic key set, deliberately UNDERSIZED (16 rows × 2 slots per
@@ -3789,6 +3843,13 @@ _DEMOTED = [
     # keep-first survivors over the same window rank math); driver-green
     # r01-r04. Demotion re-run recorded in BASELINE.md.
     "w2_first_event_per_user",
+    # demoted r05e to fit dd_substring_dedup (duplicate-span removal): j7's
+    # anti+semi membership shape is carried in-window by set_ops_buyers
+    # (except/intersect compile to the same anti/semi joins over the same
+    # buyer keys) and by the crawl scheduler's seen anti-join inside the
+    # record-oracled crawl_fetch_log; driver-green r01-r04. Demotion re-run
+    # recorded in BASELINE.md.
+    "j7_order_membership",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the
@@ -3830,6 +3891,7 @@ WINDOW_CRITICAL = [
     "dd_text_embedding_dedup",
     "dd_embedding_dedup_ivf",
     "cuckoo_membership",
+    "dd_substring_dedup",
 ]
 DRIVER_WINDOW = 50
 

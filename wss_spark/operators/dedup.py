@@ -662,3 +662,120 @@ def dedup_against(new: DataFrame, existing: DataFrame, n: int = 3,
     keep = survivors.select("doc_id").join(flagged, "doc_id", "left_anti")
     return new.join(keep.select(F.col("doc_id").alias(id_col)),
                     id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# substring-level exact dedup (duplicate-span removal)
+# ---------------------------------------------------------------------------
+
+def substring_dup_occurrences(docs: DataFrame, n: int = 8,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Every occurrence of a duplicated n-token window:
+    (doc_id, pos, gram_md5) for windows whose exact token sequence appears
+    more than once corpus-wide, EXCLUDING each window's first occurrence
+    (ordered by (doc_id, pos) — the occurrence that keep-first retains).
+
+    The span-level sibling of line dedup (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" remove exact duplicate
+    substrings ≥50 tokens via suffix arrays; the distributed form here is
+    the standard rolling n-token-window equality, which is that paper's
+    criterion restricted to fixed window length — boilerplate that crosses
+    line boundaries, quotations, and template text all land here while
+    line dedup misses them).
+
+    Tokens are the CANONICAL mixed-unit pretokens (textstats.cjk_spaced +
+    the pinned whitespace class), so CJK spans dedup per character run,
+    latin per word — consistent with every other token consumer.
+
+    Scale shape: one map-side gram explode (~n_tokens rows/doc, narrow
+    (id, pos, md5) rows), ONE skew-safe aggregation on the gram hash
+    (count + min(struct(doc_id, pos)) — partial aggregation collapses hot
+    boilerplate grams map-side; no window over the hash, which would sort
+    a hot gram's occurrences in a single partition), and one equi-join of
+    occurrences back to the duplicated hashes. md5 as the gram key: exact
+    cross-engine (the DuckDB oracle replays it), collision odds at 128
+    bits negligible at any corpus size."""
+    from wss_spark.operators.textstats import ASCII_WS, cjk_spaced
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(cjk_spaced(t), ASCII_WS + "+"),
+                    lambda x: x != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = (
+        docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                    F.posexplode(grams).alias("pos", "gram"))
+        .select("doc_id", "pos", F.md5(F.col("gram")).alias("gram_md5"))
+    )
+    firsts = (
+        occ.groupBy("gram_md5")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.min(F.struct("doc_id", "pos")).alias("first"))
+        .filter(F.col("cnt") > 1)
+    )
+    return (
+        occ.join(firsts, "gram_md5")
+        .filter(~((F.col("doc_id") == F.col("first.doc_id"))
+                  & (F.col("pos") == F.col("first.pos"))))
+        .select("doc_id", "pos", "gram_md5")
+    )
+
+
+def dedup_substrings(docs: DataFrame, n: int = 8, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Remove duplicated spans from every document, keeping each span's
+    first occurrence: (doc_id, clean_text, n_tokens, n_removed).
+
+    A token is removed iff it is covered by ANY duplicated n-token window
+    that is not that window's corpus-wide first occurrence — overlapping
+    duplicate windows merge into maximal removed spans for free (their
+    covered-position sets union). ``clean_text`` is the kept tokens
+    re-joined with single spaces (token-sequence semantics, like every
+    other token consumer — original inter-token whitespace is not
+    preserved). Exact duplicates of an earlier document therefore collapse
+    to (almost) nothing while the first copy survives untouched; documents
+    shorter than ``n`` tokens pass through whole.
+
+    Determinism: first occurrence is min(struct(doc_id, pos)) — a pure
+    function of the corpus, never of partitioning. Cost: the duplicated
+    occurrences explode ×n for coverage (only the DUPLICATED share of the
+    corpus pays it), then one groupBy(doc_id) collects the removal set."""
+    from wss_spark.operators.textstats import ASCII_WS, cjk_spaced
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(cjk_spaced(t), ASCII_WS + "+"),
+                    lambda x: x != "")
+    base = docs.select(F.col(id_col).cast("string").alias("doc_id"),
+                       toks.alias("toks"))
+    dups = substring_dup_occurrences(docs, n, id_col, text_col)
+    removed = (
+        dups.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("tp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("tp")).alias("removed"))
+    )
+    kept = F.when(
+        F.col("removed").isNull(), F.col("toks")
+    ).otherwise(
+        F.filter(F.col("toks"),
+                 lambda x, i: ~F.array_contains(F.col("removed"), i))
+    )
+    return (
+        base.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.size("toks").alias("n_tokens"),
+            F.coalesce(F.size("removed"), F.lit(0)).alias("n_removed"),
+        )
+    )
