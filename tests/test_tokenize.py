@@ -285,3 +285,120 @@ def test_gopher_words_cjk_nondegenerate(spark):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     r = textstats.word_repetition(df).collect()[0]
     assert r["n_words"] == 80
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer (operators/unigram.py)
+# ---------------------------------------------------------------------------
+
+
+def _ug_fixture(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps again and again"),
+            (3, "香港特别行政区欢迎你 香港的天气很好"),
+            (4, "lower lowest newer newest lower lowest"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_unigram_viterbi_matches_python_replica(spark):
+    """The engine's JVM-fold Viterbi (packed integer costs, longest-piece
+    backtrace) must agree with a direct pure-Python DP over the same piece
+    costs — segmentation, piece count, and total cost per word."""
+    from wss_spark.operators import unigram as ug
+
+    docs = _ug_fixture(spark)
+    words = ug.word_table(docs)
+    pieces = ug.seed_pieces(words, vocab_size=40)
+    costs = {r["piece"]: r["cc"] for r in ug.piece_costs(pieces).collect()}
+    got = {
+        r["word"]: (list(r["toks"]), r["total_cc"])
+        for r in ug.segment_words(words, ug.piece_costs(pieces)).collect()
+    }
+
+    def replica(word, K=4):
+        L = len(word)
+        INF = float("inf")
+        dp = [0] + [INF] * L
+        for p in range(1, L + 1):
+            best = INF
+            for l in range(1, min(K, p) + 1):
+                sub = word[p - l:p]
+                cc = costs.get(sub)
+                if cc is None:
+                    if l != 1:
+                        continue
+                    cc = ug.UNK_MICRO * ug.COUNT_BASE + 1
+                cand = dp[p - l] + cc
+                if cand < best:
+                    best = cand
+            dp[p] = best
+        toks, pos = [], L
+        while pos > 0:
+            chosen = 1
+            for l in range(K, 1, -1):
+                sub = word[pos - l:pos]
+                cc = costs.get(sub)
+                if pos >= l and cc is not None and dp[pos - l] + cc == dp[pos]:
+                    chosen = l
+                    break
+            toks.insert(0, word[pos - chosen:pos])
+            pos -= chosen
+        return toks, dp[L]
+
+    assert len(got) > 10
+    for word, (toks, total) in got.items():
+        rtoks, rtotal = replica(word)
+        assert (toks, total) == (rtoks, rtotal), word
+
+
+def test_unigram_train_and_encode_properties(spark):
+    """Training keeps every single char, prunes unused multi-char pieces,
+    and is partition-invariant; encode counts are bounded by char counts
+    and unknown characters still segment (finite unk cost)."""
+    from wss_spark.operators import unigram as ug
+
+    docs = _ug_fixture(spark)
+    pieces = ug.train_unigram(docs, vocab_size=50, rounds=2)
+    rows = pieces.collect()
+    chars = {r["piece"] for r in rows if len(r["piece"]) == 1}
+    corpus_chars = set("".join(
+        t for _id, t in docs.collect() if t).replace(" ", ""))
+    assert corpus_chars <= chars  # coverage: all single chars kept
+    assert all(r["cnt"] >= 1 for r in rows)  # add-one smoothing
+
+    a = sorted(map(tuple, ug.train_unigram(
+        docs.repartition(1), vocab_size=50, rounds=2).collect()))
+    b = sorted(map(tuple, ug.train_unigram(
+        docs.repartition(7), vocab_size=50, rounds=2).collect()))
+    assert a == b
+
+    out = {r["doc_id"]: r for r in
+           ug.unigram_token_counts(docs, pieces).collect()}
+    for _id, text in docs.collect():
+        n_chars = len(text.replace(" ", ""))
+        assert 1 <= out[_id]["n_pieces"] <= n_chars
+        assert out[_id]["nll_micro"] > 0
+
+    # unknown chars (never in training) cost UNK but still segment
+    probe = spark.createDataFrame([(9, "zzqqxx 你好")],
+                                  "doc_id long, text string")
+    got = ug.unigram_token_counts(probe, pieces).collect()[0]
+    assert got["n_pieces"] >= 2
+    assert got["nll_micro"] >= ug.UNK_MICRO  # at least one unk charged
+
+
+def test_unigram_multichar_pieces_win_over_chars(spark):
+    """A frequent word must encode as few pieces, not char-by-char — the
+    point of the learned inventory (e.g. 'the' → 1 piece here)."""
+    from wss_spark.operators import unigram as ug
+
+    docs = _ug_fixture(spark)
+    pieces = ug.train_unigram(docs, vocab_size=50, rounds=2)
+    seg = {r["word"]: list(r["toks"]) for r in ug.segment_words(
+        ug.word_table(docs), ug.piece_costs(pieces)).collect()}
+    assert seg["the"] == ["the"]
+    assert len(seg["quick"]) <= 3

@@ -3597,6 +3597,201 @@ def llm_release_manifest(spark, sf):
     return corpus_ops.release_shards(docs, n_shards=_RELEASE_SHARDS)[1]
 
 
+# Unigram-LM tokenizer (operators/unigram.py — the Viterbi sibling of the
+# BPE trainer, completing the "BPE or unigram" pair): seed pieces from
+# substring statistics, hard-EM usage re-estimation, min-cost encode. The
+# oracle replays the ENTIRE pipeline from the same fixture corpus — seed
+# candidate ranking, per-round integer-cost Viterbi as RECURSIVE CTEs
+# (the dp cost list rides the recursion; backtrace re-walks it with the
+# same longest-piece tie-break), usage counts, smoothing/pruning, and the
+# final encode. All DP comparisons are integers (micro-nll * 64 + 1), so
+# cross-engine float drift cannot flip a segmentation.
+_UG_VOCAB = 60
+_UG_ROUNDS = 2
+_UG_WLEN = 16
+_UG_K = 4
+_UG_UNK_CC = 25_000_000 * 64 + 1
+
+# tokenize._pretokens mirror at the unigram word-length cap (the BPE gates
+# mirror the same pipeline at _BPE_WLEN)
+_UG_CHUNK = (
+    "regexp_replace(regexp_replace("
+    "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),"
+    " '[\\x01\\x02]', '', 'g'),"
+    f" '([^ ]{{{_UG_WLEN}}})', '\\1 ', 'g')"
+)
+
+
+def _ug_pc_sql(src: str) -> str:
+    """unigram.piece_costs mirror: packed integer cost per piece."""
+    return (
+        f"SELECT piece, CAST(round(-ln(CAST(cnt AS DOUBLE) / t.tot) * 1e6) "
+        f"AS BIGINT) * 64 + 1 AS cc "
+        f"FROM {src}, (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM {src}) t"
+    )
+
+
+def _ug_dp_sql(tag: str, pc: str) -> str:
+    """Viterbi forward pass as a recursive CTE: one row per (word, pos),
+    the packed-cost list riding the recursion (costs[p+1] = best cost of
+    the first p chars). Candidate pieces join per length; `least` skips
+    NULLs on both engines, unknown single chars cost _UG_UNK_CC."""
+    cands = [f"d.costs[d.pos + 1] + coalesce(c1.cc, {_UG_UNK_CC})"]
+    joins = [f"LEFT JOIN {pc} c1 ON c1.piece = substr(d.word, d.pos + 1, 1)"]
+    for l in range(2, _UG_K + 1):
+        cands.append(
+            f"CASE WHEN d.pos >= {l - 1} "
+            f"THEN d.costs[d.pos + 2 - {l}] + c{l}.cc END"
+        )
+        joins.append(
+            f"LEFT JOIN {pc} c{l} ON d.pos >= {l - 1} "
+            f"AND c{l}.piece = substr(d.word, d.pos + 2 - {l}, {l})"
+        )
+    return f"""
+dp{tag} AS (
+  SELECT word, freq, 0 AS pos, [CAST(0 AS BIGINT)] AS costs FROM w
+  UNION ALL
+  SELECT d.word, d.freq, d.pos + 1,
+         d.costs || [least({', '.join(cands)})]
+  FROM dp{tag} d
+  {' '.join(joins)}
+  WHERE d.pos < len(d.word)
+),
+dpf{tag} AS MATERIALIZED (
+  SELECT word, freq, costs FROM dp{tag} WHERE pos = len(word))"""
+
+
+def _ug_bt_sql(tag: str, pc: str) -> str:
+    """Backtrace as a recursive CTE: at each boundary take the LONGEST
+    piece whose cost closes the DP equality (CASE scans K..1) — the
+    engine's exact tie-break (unigram._backtrace)."""
+    joins, case = [], []
+    for l in range(_UG_K, 1, -1):
+        joins.append(
+            f"LEFT JOIN {pc} q{l} ON b.pos >= {l} "
+            f"AND q{l}.piece = substr(b.word, b.pos - {l} + 1, {l})"
+        )
+        case.append(
+            f"WHEN b.pos >= {l} AND b.costs[b.pos - {l} + 1] + q{l}.cc "
+            f"= b.costs[b.pos + 1] THEN {l}"
+        )
+    return f"""
+bt{tag} AS (
+  SELECT word, freq, costs, len(word) AS pos, []::VARCHAR[] AS toks
+  FROM dpf{tag}
+  UNION ALL
+  SELECT b.word, b.freq, b.costs, b.pos - pick.l,
+         [substr(b.word, b.pos - pick.l + 1, pick.l)] || b.toks
+  FROM bt{tag} b
+  {' '.join(joins)}
+  CROSS JOIN LATERAL (
+    SELECT CASE {' '.join(case)} ELSE 1 END AS l) pick
+  WHERE b.pos > 0
+),
+seg{tag} AS MATERIALIZED (
+  SELECT word, freq, toks FROM bt{tag} WHERE pos = 0)"""
+
+
+def _ug_chain_sql() -> str:
+    """corpus → word freqs → seed pieces → _UG_ROUNDS hard-EM rounds."""
+    sql = f"""WITH RECURSIVE corpus AS MATERIALIZED ({_bpe_corpus_sql()}),
+w AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(list_filter(string_split({_UG_CHUNK}, ' '),
+                              x -> x <> '')) AS word
+    FROM corpus)
+  GROUP BY word
+),
+cand AS MATERIALIZED (
+  SELECT substr(w.word, s.s, l.l) AS piece, CAST(sum(w.freq) AS BIGINT) AS cnt
+  FROM w,
+  LATERAL (SELECT unnest(generate_series(1, len(w.word))) AS s) s,
+  LATERAL (SELECT unnest(generate_series(1, {_UG_K})) AS l) l
+  WHERE s.s + l.l - 1 <= len(w.word)
+  GROUP BY 1
+),
+pieces0 AS MATERIALIZED (
+  SELECT piece, cnt FROM cand WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+    FROM cand WHERE len(piece) > 1) WHERE rk <= {_UG_VOCAB}
+)"""
+    for r in range(_UG_ROUNDS):
+        sql += f""",
+pc{r} AS MATERIALIZED ({_ug_pc_sql(f'pieces{r}')}),{_ug_dp_sql(str(r), f'pc{r}')},{_ug_bt_sql(str(r), f'pc{r}')},
+use{r} AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS u
+  FROM (SELECT freq, unnest(toks) AS piece FROM seg{r}) GROUP BY piece
+),
+pieces{r + 1} AS MATERIALIZED (
+  SELECT p.piece, coalesce(u.u, 0) + 1 AS cnt
+  FROM pieces{r} p LEFT JOIN use{r} u ON u.piece = p.piece
+  WHERE len(p.piece) = 1 OR u.u IS NOT NULL
+)"""
+    return sql
+
+
+def _ug_train_sql() -> str:
+    return (
+        _ug_chain_sql()
+        + f"\nSELECT piece, CAST(cnt AS BIGINT) AS cnt FROM pieces{_UG_ROUNDS}"
+    )
+
+
+def _ug_counts_sql() -> str:
+    return _ug_chain_sql() + f""",
+pcF AS MATERIALIZED ({_ug_pc_sql(f'pieces{_UG_ROUNDS}')}),{_ug_dp_sql('F', 'pcF')},
+res AS MATERIALIZED (
+  SELECT word, costs[len(word) + 1] AS tc FROM dpfF
+),
+docw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split({_UG_CHUNK}, ' '),
+                            x -> x <> '')) AS word
+  FROM corpus
+)
+SELECT doc_id,
+  CAST(sum(tc % 64) AS BIGINT) AS n_pieces,
+  CAST(sum(tc // 64) AS BIGINT) AS nll_micro
+FROM docw JOIN res USING (word) GROUP BY doc_id
+"""
+
+
+@_q("unigram_train_pieces", _ug_train_sql())
+def unigram_train_pieces(spark, sf):
+    """In-engine unigram-LM training (unigram.train_unigram): the final
+    (piece, count) inventory after seed + 2 hard-EM rounds on the mixed
+    Chinese/English fixture. The oracle replays seed ranking, every
+    Viterbi round (recursive-CTE DP + tie-broken backtrace), usage
+    re-estimation, smoothing, and pruning from the raw corpus."""
+    from wss_spark.operators import unigram as unigram_ops
+
+    pieces = unigram_ops.train_unigram(
+        _bpe_fixture_df(spark), vocab_size=_UG_VOCAB, rounds=_UG_ROUNDS,
+        max_piece_len=_UG_K, max_word_len=_UG_WLEN,
+    )
+    return pieces.select("piece", F.col("cnt").cast("long").alias("cnt"))
+
+
+@_q("unigram_token_counts", _ug_counts_sql())
+def unigram_token_counts(spark, sf):
+    """Unigram encode (unigram.unigram_token_counts): per-document Viterbi
+    token count and total micro-nll under the trained pieces — min-values
+    of the integer DP, so the gate is independent of which equal-cost
+    segmentation a backtrace picks."""
+    from wss_spark.operators import unigram as unigram_ops
+
+    fx = _bpe_fixture_df(spark)
+    pieces = unigram_ops.train_unigram(
+        fx, vocab_size=_UG_VOCAB, rounds=_UG_ROUNDS,
+        max_piece_len=_UG_K, max_word_len=_UG_WLEN,
+    )
+    return unigram_ops.unigram_token_counts(
+        fx, pieces, max_piece_len=_UG_K, max_word_len=_UG_WLEN
+    )
+
+
 # Substring-level exact dedup (duplicate-span removal): the fixed-window
 # distributed form of Lee et al. 2022's suffix-array duplicate-substring
 # removal — boilerplate/quotation spans that cross line boundaries, which
@@ -3850,6 +4045,20 @@ _DEMOTED = [
     # record-oracled crawl_fetch_log; driver-green r01-r04. Demotion re-run
     # recorded in BASELINE.md.
     "j7_order_membership",
+    # demoted r05f/g to fit the two unigram tokenizer gates
+    # (unigram_train_pieces, unigram_token_counts — the Viterbi sibling of
+    # the in-window BPE pair):
+    # - dd_lsh_candidates: the band-key join runs VERBATIM inside in-window
+    #   dd_near_dedup and llm_corpus_clean (both value-oracle the same
+    #   candidate chain end-to-end), the same carry argument that demoted
+    #   dd_minhash_signatures in r04b; driver-green r01-r04.
+    # - j5_customer_enriched: the enrichment join + JSON-cell render is
+    #   carried in-window by its record-level twin user_info_enriched
+    #   (same join + get_json_object/to_json path over reference-shaped
+    #   records); driver-green r01-r04. Demotion re-runs recorded in
+    #   BASELINE.md.
+    "dd_lsh_candidates",
+    "j5_customer_enriched",
 ]
 
 # Gates that MUST stay inside the driver's first-50 correctness window: the
@@ -3892,6 +4101,8 @@ WINDOW_CRITICAL = [
     "dd_embedding_dedup_ivf",
     "cuckoo_membership",
     "dd_substring_dedup",
+    "unigram_train_pieces",
+    "unigram_token_counts",
 ]
 DRIVER_WINDOW = 50
 
