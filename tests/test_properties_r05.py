@@ -235,3 +235,79 @@ def test_pretokens_chunk_invariants(spark):
         assert "".join(words) == re.sub(
             "[ \x01\x02]", "", r["norm"] or ""
         ), (r["norm"], words)
+
+
+# ---------------------------------------------------------------------------
+# cuckoo filter pure layer (crawl/cuckoo.py vs simulator.simulate_cuckoo)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+             min_size=1, max_size=120, unique=True),
+    st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_cuckoo_numpy_layer_equals_replica(hashes, data):
+    """The engine's vectorized fingerprint/row math and insert/delete walk
+    (numpy, crawl/cuckoo.py) must agree with the independent plain-int
+    replica (simulator.simulate_cuckoo) on random key sets with a random
+    delete subset, at an UNDERSIZED table so eviction chains and the stash
+    are exercised — membership flags identical for every key."""
+    import numpy as np
+
+    from wss_spark.crawl import cuckoo
+    from wss_spark.crawl.simulator import simulate_cuckoo
+
+    n_slots, width, kicks = 8, 2, 6
+    n_del = data.draw(st.integers(min_value=0, max_value=len(hashes)))
+    dels = hashes[:n_del]
+
+    # engine pure layer: replicate update()'s inner merge on one bucket
+    tbl = np.zeros((n_slots, width), dtype=np.uint16)
+    stash: list = []
+    srt = np.sort(np.array(hashes, dtype=np.int64))
+    fp, i1, i2 = cuckoo._fp_rows(srt, n_slots)
+    for f, a, b in zip(fp.tolist(), i1.tolist(), i2.tolist()):
+        cuckoo._insert_one(tbl, stash, f, a, b, n_slots, width, kicks)
+    # delete via the same scan order delete() uses
+    dsrt = np.sort(np.array(dels, dtype=np.int64)) if dels else np.array([], dtype=np.int64)
+    dfp, di1, di2 = cuckoo._fp_rows(dsrt, n_slots)
+    for f, a, b in zip(dfp.tolist(), di1.tolist(), di2.tolist()):
+        removed = False
+        for i in (a, b):
+            row = tbl[i]
+            for j in range(width):
+                if row[j] == f:
+                    row[j] = 0
+                    removed = True
+                    break
+            if removed:
+                break
+        if not removed:
+            for i in (a, b):
+                key = (i << 16) | f
+                if key in stash:
+                    stash.remove(key)
+                    break
+
+    # engine probe (vectorized)
+    probe = np.array(hashes, dtype=np.int64)
+    pfp, pi1, pi2 = cuckoo._fp_rows(probe, n_slots)
+    pi1 = pi1.astype(np.int64)
+    pi2 = pi2.astype(np.int64)
+    maybe = (tbl[pi1] == pfp[:, None].astype(np.uint16)).any(axis=1) | (
+        tbl[pi2] == pfp[:, None].astype(np.uint16)).any(axis=1)
+    if stash:
+        sarr = np.asarray(stash, dtype=np.uint64)
+        maybe |= np.isin((pi1.astype(np.uint64) << np.uint64(16)) | pfp, sarr)
+        maybe |= np.isin((pi2.astype(np.uint64) << np.uint64(16)) | pfp, sarr)
+
+    keys = [(i, 0, h) for i, h in enumerate(hashes)]
+    want = dict(simulate_cuckoo(
+        keys, list(range(len(hashes))),
+        list(range(n_del)), n_slots, width, kicks))
+    got = {i: bool(m) for i, m in enumerate(maybe.tolist())}
+    assert got == want
+    # no false negatives for keys that remain (inserted once, deleted ≤ once)
+    for i in range(n_del, len(hashes)):
+        assert got[i]
