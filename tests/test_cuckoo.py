@@ -205,3 +205,26 @@ def test_evict_and_refresh_generation(spark, tmp_path, filter_kind):
     r3 = run_crawl(spark, pages, targets, cfg, continue_seen=True)
     assert r3.fetch_log.filter(F.col("wave") > w2).count() == 0
     pages.unpersist()
+
+
+def test_evict_urls_rejects_config_mismatch_before_mutation(spark, tmp_path):
+    """evict_urls under seen_filter='cuckoo' on a BLOOM snapshot must fail
+    up front, leaving the exact seen store untouched."""
+    from wss_spark.crawl import checkpoint
+    from wss_spark.crawl.recrawl import evict_urls
+
+    pages = build_pages_df(spark, 4, seed=11).cache()
+    seeds = seed_list(4, seed=11)
+    cfg = CrawlConfig(budget=5, n_buckets=N_BUCKETS, max_waves=2,
+                      checkpoint_dir=str(tmp_path / "ck"))
+    r = run_crawl(spark, pages, seeds, cfg)
+    target = visit_order(r.fetch_log)[:1]
+    snap = checkpoint.latest_snapshot(cfg.checkpoint_dir)
+    before = checkpoint.read_seen_keys(spark, cfg.checkpoint_dir, snap.wave).count()
+    bad = CrawlConfig(budget=5, n_buckets=N_BUCKETS, seen_filter="cuckoo",
+                      checkpoint_dir=cfg.checkpoint_dir)
+    with pytest.raises(ValueError, match="bloom state"):
+        evict_urls(spark, cfg.checkpoint_dir, target, bad)
+    after = checkpoint.read_seen_keys(spark, cfg.checkpoint_dir, snap.wave).count()
+    assert after == before
+    pages.unpersist()

@@ -49,6 +49,7 @@ QUERIES = [
     "dd_minhash_signatures",
     "dd_lsh_candidates",
     "dd_near_dedup",
+    "dd_substring_dedup",
     "dd_simhash_pairs",
     "ts_quality",
     "ts_lang_id",

@@ -86,6 +86,18 @@ def evict_urls(spark, checkpoint_dir: str, urls, config=None) -> int:
             f"no committed crawl snapshot under {checkpoint_dir!r} to evict "
             "from (eviction operates on standing seen state)"
         )
+    if cfg.seen_filter == "cuckoo":
+        # validate BEFORE mutating anything: a bloom snapshot under a
+        # cuckoo config must fail up front, not after the exact-store
+        # rewrite (which would leave a half-applied eviction)
+        _frontier0, state0 = checkpoint.read_state(
+            spark, checkpoint_dir, snap.wave
+        )
+        if "table" not in state0.columns:
+            raise ValueError(
+                f"snapshot at wave {snap.wave} holds bloom state but "
+                "seen_filter='cuckoo'; pass the config the crawl ran with"
+            )
     if isinstance(urls, _DF):
         udf_ = urls.select("url")
     else:
