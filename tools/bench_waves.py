@@ -10,7 +10,7 @@ so its discover_state wall grew linearly with waves; the r03 append-only
 bucket store appends only the wave's keys, so the wall must stay flat as
 cumulative seen grows (BASELINE.md records the table).
 
-Usage: python tools/bench_waves.py [n_targets] [budget] [max_waves]
+Usage: python tools/bench_waves.py [n_targets] [budget] [max_waves] [bloom|cuckoo]
 """
 
 from __future__ import annotations
@@ -27,6 +27,7 @@ def main() -> None:
     n_targets = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     budget = int(sys.argv[2]) if len(sys.argv) > 2 else 400
     max_waves = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+    seen_filter = sys.argv[4] if len(sys.argv) > 4 else "bloom"
 
     from wss_spark.crawl.frontier import CrawlConfig, run_crawl
     from wss_spark.session import get_spark
@@ -39,6 +40,7 @@ def main() -> None:
     pages.count()
     cfg = CrawlConfig(
         budget=budget, n_buckets=64, m_bits=1 << 20, checkpoint_every=10,
+        seen_filter=seen_filter,
         defer_logs=True, dedup_pages=False, max_waves=max_waves,
         track_bloom_stats=True,
         checkpoint_dir=tempfile.mkdtemp(prefix="wss_waves_"),
