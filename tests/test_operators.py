@@ -1132,3 +1132,58 @@ def test_dedup_substrings_cjk_and_invariance(spark):
     a = sorted(map(tuple, dedup.dedup_substrings(docs.repartition(1), n=8).collect()))
     b = sorted(map(tuple, dedup.dedup_substrings(docs.repartition(5), n=8).collect()))
     assert a == b
+
+
+def test_dedup_substrings_matches_python_replica(spark):
+    """Randomized corpora from a tiny vocabulary (maximal span collisions)
+    must match an independent pure-Python implementation of the spec:
+    cjk-spaced whitespace tokens, n-token windows, keep-first by
+    (doc_id, pos), remove all covered tokens of later occurrences."""
+    import hashlib
+    import random
+
+    N = 4
+    vocab = ["alpha", "beta", "gamma", "delta", "ep", "zeta", "eta", "theta"]
+
+    def replica(docs_py, n):
+        occ = {}  # gram -> list[(doc, pos)]
+        toks_by = {}
+        for did, text in docs_py:
+            toks = [t for t in (text or "").split() if t]
+            toks_by[did] = toks
+            for p in range(len(toks) - n + 1):
+                g = hashlib.md5(" ".join(toks[p:p + n]).encode()).hexdigest()
+                occ.setdefault(g, []).append((did, p))
+        removed = {did: set() for did, _ in docs_py}
+        for g, hits in occ.items():
+            if len(hits) < 2:
+                continue
+            first = min(hits)
+            for did, p in hits:
+                if (did, p) == first:
+                    continue
+                removed[did].update(range(p, p + n))
+        out = {}
+        for did, _ in docs_py:
+            toks = toks_by[did]
+            rem = removed[did] & set(range(len(toks)))
+            kept = [t for i, t in enumerate(toks) if i not in rem]
+            out[did] = (" ".join(kept), len(toks), len(rem))
+        return out
+
+    rng = random.Random(20260821)
+    for trial in range(3):
+        docs_py = []
+        for d in range(50):
+            n_words = rng.randint(0, 14)
+            docs_py.append(
+                (f"{trial}d{d:02d}",
+                 " ".join(rng.choice(vocab) for _ in range(n_words)))
+            )
+        docs = spark.createDataFrame(docs_py, "doc_id string, text string")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+            for r in dedup.dedup_substrings(docs, n=N).collect()
+        }
+        want = replica(docs_py, N)
+        assert got == want
