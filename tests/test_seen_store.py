@@ -288,3 +288,30 @@ def test_swap_filter_state_atomic_pointer(spark, tmp_path):
     assert snap3.manifest["filter_dir"] == "bloom"
     _fr, st = checkpoint.read_state(spark, root, 0)
     assert st.collect()[0]["count"] == 3
+
+
+def test_gc_seen_store_reclaims_shadowed_state(spark, tmp_path):
+    """After a committed eviction rewrite, gc removes shadowed segments and
+    wave dirs; reads at/above the eviction watermark are unchanged, and
+    keys appended after it survive."""
+    root = str(tmp_path / "ck")
+    for w in range(4):
+        checkpoint.write_seen_keys(root, w, _keys(spark, w))
+    checkpoint.compact_seen_keys(spark, root, 0, 1)
+    # no full-range segment yet: gc must be a no-op
+    assert checkpoint.gc_seen_store(root) == {
+        "removed_segments": 0, "removed_waves": 0}
+    assert checkpoint.read_seen_keys(spark, root, 3) is not None
+
+    checkpoint.evict_seen_keys(spark, root, _keys(spark, 1, n=5), 3)
+    checkpoint.write_seen_keys(root, 4, _keys(spark, 4))  # post-evict append
+    before = _collect(checkpoint.read_seen_keys(spark, root, 4))
+
+    stats = checkpoint.gc_seen_store(root)
+    assert stats["removed_segments"] >= 1   # the narrow seg=00000-00001
+    assert stats["removed_waves"] == 4      # waves 0..3; wave 4 survives
+    after = _collect(checkpoint.read_seen_keys(spark, root, 4))
+    assert after == before
+    # a second eviction rewrite at a later watermark still works post-gc
+    assert checkpoint.evict_seen_keys(spark, root, _keys(spark, 4, n=2), 4)
+    assert len(_collect(checkpoint.read_seen_keys(spark, root, 4))) == len(before) - 2

@@ -322,6 +322,62 @@ def evict_seen_keys(spark: SparkSession, root: str, evict: DataFrame,
     return True
 
 
+def gc_seen_store(root: str) -> dict:
+    """Reclaim seen-store state shadowed by committed full-range segments —
+    the Iceberg expire_snapshots analog the eviction commit deliberately
+    defers (see evict_seen_keys). Removes, for the WIDEST committed
+    full-range (lo=0) segment at its highest revision:
+
+    - earlier revisions of the same range,
+    - committed or crashed narrower segments with ``hi`` ≤ its ``hi``,
+    - loose wave dirs with ``wave`` ≤ its ``hi``.
+
+    After GC, reads at watermarks ≥ the segment's ``hi`` are unchanged
+    (the survivor serves them); reads BELOW it lose time travel to
+    pre-eviction history — that is the point of expiry, and why this is a
+    separate, explicit maintenance call rather than part of any commit.
+    Never touches anything when no full-range segment exists. Returns
+    counts of removed segment dirs and wave dirs."""
+    import shutil
+
+    best = None  # (hi, rev, name) of the widest committed EVICTION segment
+    sr = _seg_root(root)
+    if os.path.isdir(sr):
+        for e in os.listdir(sr):
+            m = _SEG_NAME.match(e)
+            if m is None or int(m.group(1)) != 0:
+                continue
+            mf = os.path.join(sr, e, "_SEG_COMMIT.json")
+            if not os.path.exists(mf):
+                continue
+            with open(mf) as f:
+                marker = json.load(f)
+            # only an eviction REWRITE (marker flag) authorizes expiry: a
+            # lo=0 cadence segment also covers its waves, but expiring
+            # around it would silently discard watermark-0 time travel
+            # without any eviction having asked for it
+            if not marker.get("evicted"):
+                continue
+            key = (int(m.group(2)), int(m.group(3) or 0), e)
+            if best is None or key > best:
+                best = key
+    if best is None:
+        return {"removed_segments": 0, "removed_waves": 0}
+    hi, _rev, keep = best
+    n_seg = n_wave = 0
+    for e in os.listdir(sr):
+        m = _SEG_NAME.match(e)
+        if m is None or e == keep:
+            continue
+        if int(m.group(2)) <= hi:
+            shutil.rmtree(os.path.join(sr, e), ignore_errors=True)
+            n_seg += 1
+    for w, p in _seen_wave_dirs(root, hi):
+        shutil.rmtree(p, ignore_errors=True)
+        n_wave += 1
+    return {"removed_segments": n_seg, "removed_waves": n_wave}
+
+
 def _seen_wave_dirs(root: str, up_to_wave: int,
                     skip_waves: set[int] | None = None) -> list[tuple[int, str]]:
     sr = _seen_root(root)
